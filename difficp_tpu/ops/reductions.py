@@ -1,0 +1,291 @@
+"""Masked Gaussian pairwise kernel reductions (dense jnp reference backend).
+
+These are the 10+3 reductions that the reference delegates to KeOps /
+dense-torch (reference diffICP/tools/kernel.py:125-215, the op inventory in
+SURVEY.md §2.1a).  Gaussian kernel and closed-form derivatives
+(kernel.py:248-252):
+
+    K(z)      = exp(-|z|^2 / 2 s^2)
+    (grad K)(z)  = -z K / s^2
+    (Hess K)(z)  = (z z^T / s^4 - I / s^2) K
+    (Lap K)(z)   = (|z|^2 / s^4 - D / s^2) K
+    (grad Lap K)(z) = (|z|^2/s^6 - (D+2)/s^4) (-z K)
+
+Design differences vs the reference:
+
+- Every reduction takes an optional ``mask_y`` (and where relevant ``mask_x``)
+  so padded points contribute exactly zero — the TPU-native replacement for
+  the reference's ragged tensors.
+- The LDDMM ODE right-hand side is exposed as *fused* ops (``lddmm_rhs``,
+  ``mdivsum``, fused ``lddmm_rhs_self``) that compute the kernel matrix terms
+  once and emit every needed output, instead of 3-6 separate reductions per
+  ODE evaluation (reference LDDMM.py:176-227 calls KRed/GradKRed/GenDKRed/
+  HessKRed/GradLapKRed/LapKRed separately).
+- Everything is pure jnp and differentiable; a Pallas tiled backend with the
+  same signatures lives in ``difficp_tpu.ops.pallas_reductions`` for large N
+  (never materializes the (M, N) matrix).
+
+Shapes: x (M, D), y (N, D), payloads b/c (N, D)/(M, D), masks (M,)/(N,)
+float (1 = real point, 0 = padding).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _kmat(x, y, sigma, mask_y=None):
+    """diff (M,N,D), sqdist (M,N), K (M,N) with mask_y folded into K."""
+    diff = x[:, None, :] - y[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    k = jnp.exp(-d2 / (2.0 * sigma**2))
+    if mask_y is not None:
+        k = k * mask_y[None, :]
+    return diff, d2, k
+
+
+# ---------------------------------------------------------------------------
+# The 10 reductions of the reference kernel library (kernel.py:125-215)
+# ---------------------------------------------------------------------------
+
+def kbase(x, y, sigma, mask_y=None):
+    """X(i) = sum_j K(x_i - y_j).  (kernel.py:131,178)"""
+    _, _, k = _kmat(x, y, sigma, mask_y)
+    return jnp.sum(k, axis=1)
+
+
+def kred_scal(x, y, d, sigma, mask_y=None):
+    """X(i) = sum_j K(x_i - y_j) d_j, scalar payload d (N,).  (kernel.py:134,182)"""
+    _, _, k = _kmat(x, y, sigma, mask_y)
+    return k @ d
+
+
+def kred(x, y, b, sigma, mask_y=None):
+    """X(i,:) = sum_j K(x_i - y_j) b_j — the kernel-sum convolution.
+    (kernel.py:138,186)"""
+    _, _, k = _kmat(x, y, sigma, mask_y)
+    return k @ b
+
+
+def grad_kred(x, y, sigma, mask_y=None):
+    """X(i,:) = sum_j (grad K)(x_i - y_j) = sum_j (y_j - x_i) K / s^2.
+    (kernel.py:142,190)"""
+    diff, _, k = _kmat(x, y, sigma, mask_y)
+    return jnp.einsum("mn,mnd->md", k, -diff) / sigma**2
+
+
+def grad_kred_rev(x, y, d, sigma, mask_x=None):
+    """Y(j) = sum_i sum_d (grad_d K)(x_i - y_j) d_i^d — reversed-axis sum.
+    (kernel.py:146,194)"""
+    diff, _, k = _kmat(x, y, sigma, None)
+    if mask_x is not None:
+        k = k * mask_x[:, None]
+    proj = jnp.sum(-diff * d[:, None, :], axis=-1) / sigma**2  # (M,N)
+    return jnp.sum(k * proj, axis=0)
+
+
+def ddkred(x, y, b, sigma, mask_y=None):
+    """X(i,d) = sum_j (grad_d K)(x_i - y_j) b_j^d (diagonal differential).
+    (kernel.py:150,198)"""
+    diff, _, k = _kmat(x, y, sigma, mask_y)
+    return jnp.einsum("mn,mnd->md", k, -diff * b[None, :, :]) / sigma**2
+
+
+def gendk_red(x, y, b, c, sigma, mask_y=None):
+    """X(i,:) = sum_j (grad K)(x_i - y_j) (c_i . b_j).  (kernel.py:154,202)"""
+    diff, _, k = _kmat(x, y, sigma, mask_y)
+    dots = c @ b.T  # (M,N) = c_i . b_j
+    return jnp.einsum("mn,mnd->md", k * dots, -diff) / sigma**2
+
+
+def hessk_red(x, y, b, c, sigma, mask_y=None):
+    """X(i,:) = sum_j (Hess K)(x_i - y_j) (c_i - b_j)
+             = sum_j ( [(x_i-y_j).(c_i-b_j)] (x_i-y_j)/s^4 - (c_i-b_j)/s^2 ) K.
+    (kernel.py:158,284-286)"""
+    diff, _, k = _kmat(x, y, sigma, mask_y)
+    cb = c[:, None, :] - b[None, :, :]  # (M,N,D)
+    proj = jnp.sum(diff * cb, axis=-1)  # (M,N)
+    term = diff * proj[:, :, None] / sigma**4 - cb / sigma**2
+    return jnp.einsum("mn,mnd->md", k, term)
+
+
+def lapk_red(x, y, sigma, mask_y=None):
+    """X(i) = sum_j (Lap K)(x_i - y_j).  (kernel.py:163,206; LapK formula
+    kernel.py:265-267)"""
+    _, d2, k = _kmat(x, y, sigma, mask_y)
+    dim = x.shape[-1]
+    return jnp.sum(k * (d2 / sigma**4 - dim / sigma**2), axis=1)
+
+
+def gradlapk_red(x, y, sigma, mask_y=None):
+    """X(i,:) = sum_j (grad Lap K)(x_i - y_j)
+             = sum_j (|z|^2/s^6 - (D+2)/s^4) (y_j - x_i) K,  z = x_i - y_j.
+    (kernel.py:167,289-292)"""
+    diff, d2, k = _kmat(x, y, sigma, mask_y)
+    dim = x.shape[-1]
+    coef = k * (d2 / sigma**6 - (dim + 2) / sigma**4)
+    return jnp.einsum("mn,mnd->md", coef, -diff)
+
+
+# ---------------------------------------------------------------------------
+# Fused LDDMM dynamics ops (replace 3-6 separate reductions per ODE eval,
+# reference LDDMM.py:100-138,176-227)
+# ---------------------------------------------------------------------------
+
+def v_field(x, q, p, sigma, eta, mask_q=None):
+    """RKHS vector field at points x:
+        v(x_i) = sum_j [ p_j K(x_i - q_j) - eta (grad K)(x_i - q_j) ].
+    (LDDMM.py:100-116)"""
+    diff, _, k = _kmat(x, q, sigma, mask_q)
+    out = k @ p
+    if eta != 0.0:
+        out = out - eta * (jnp.einsum("mn,mnd->md", k, -diff) / sigma**2)
+    return out
+
+
+def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
+    """sum over data points x of -div(v)(x_i):
+        mdivsum = sum_i p-weighted grad term + eta * Laplacian term.
+    Matches reference LDDMM.py:120-138 (expressed there as
+    ``(p * GradKRed(q, x)).sum() + eta * LapKRed(q, x).sum()``).
+    """
+    # Note reversed roles: reductions are over data x_j for each support q_i.
+    diff, d2, k = _kmat(q, x, sigma, mask_x)
+    if mask_q is not None:
+        k = k * mask_q[:, None]
+    grad_term = jnp.einsum("mn,mnd,md->", k, -diff, p) / sigma**2
+    if eta == 0.0:
+        return grad_term
+    dim = q.shape[-1]
+    lap_term = jnp.sum(k * (d2 / sigma**4 - dim / sigma**2))
+    return grad_term + eta * lap_term
+
+
+def hamiltonian(q, p, sigma, eta, mask_q=None):
+    """H(q,p) = 1/2 sum_ij [ (p_i.p_j) K - eta (p_i-p_j).(grad K) - eta^2 Lap K ]
+    over kernel K(q_i - q_j).  (LDDMM.py:142-159)"""
+    diff, d2, k = _kmat(q, q, sigma, mask_q)
+    if mask_q is not None:
+        k = k * mask_q[:, None]  # mask both axes
+    h = 0.5 * jnp.einsum("mn,md,nd->", k, p, p)
+    if eta != 0.0:
+        dim = q.shape[-1]
+        # 0.5 sum_ij (p_i - p_j).gradK_ij == sum_ij p_i.gradK_ij by the
+        # antisymmetry of gradK (matches reference form
+        # ``eta * (p * GradKRed(q, q)).sum()``, LDDMM.py:152).
+        bsum = jnp.einsum("mn,mnd,md->", k, -diff, p) / sigma**2
+        csum = jnp.sum(k * (d2 / sigma**4 - dim / sigma**2))
+        h = h - eta * bsum - 0.5 * eta**2 * csum
+    return h
+
+
+def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None):
+    """Fused ODE right-hand side when data points == support points q.
+
+    Returns (vq, minus_Gq, dcost):
+      vq_i   = sum_j [p_j K_ij - eta gradK_ij]                  (LDDMM.py:100-116)
+      Gq_i   = GenDKRed - eta HessKRed - eta^2 GradLapKRed      (LDDMM.py:196-203)
+      dcost  = mdivsum(q, q, p) if withlogdet else 0            (LDDMM.py:210-216)
+
+    The kernel matrix terms are computed once and every output accumulated in
+    the same pass (fusion target for the Pallas backend).
+    """
+    diff, d2, k = _kmat(q, q, sigma, mask_q)
+    dim = q.shape[-1]
+    sig2 = sigma**2
+
+    vq = k @ p
+    dots = p @ p.T  # (M,M) p_i . p_j
+    gq = jnp.einsum("mn,mnd->md", k * dots, -diff) / sig2
+
+    if eta != 0.0:
+        grad_red = jnp.einsum("mn,mnd->md", k, -diff) / sig2
+        vq = vq - eta * grad_red
+        # HessKRed(q,q,p,p)
+        cb = p[:, None, :] - p[None, :, :]
+        proj = jnp.sum(diff * cb, axis=-1)
+        hess = jnp.einsum("mn,mnd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2)
+        # GradLapKRed(q,q)
+        coef = k * (d2 / sigma**6 - (dim + 2) / sigma**4)
+        glap = jnp.einsum("mn,mnd->md", coef, -diff)
+        gq = gq - eta * hess - eta**2 * glap
+
+    if withlogdet:
+        km = k * mask_q[:, None] if mask_q is not None else k
+        dcost = jnp.einsum("mn,mnd,md->", km, -diff, p) / sig2
+        if eta != 0.0:
+            dcost = dcost + eta * jnp.sum(km * (d2 / sigma**4 - dim / sigma**2))
+    else:
+        dcost = jnp.zeros((), dtype=q.dtype)
+
+    if mask_q is not None:
+        vq = vq * mask_q[:, None]
+        gq = gq * mask_q[:, None]
+    return vq, -gq, dcost
+
+
+def lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q=None, mask_x=None):
+    """Fused ODE right-hand side with an external advected point set x.
+
+    Returns (vq, minus_Gq, dcost, vx); the divergence cost is evaluated at the
+    data points x (LDDMM.py:219-227).
+    """
+    vq, mgq, _ = lddmm_rhs_self(q, p, sigma, eta, False, mask_q)
+    diff, d2, k = _kmat(x, q, sigma, mask_q)  # (Nx, M)
+    sig2 = sigma**2
+    vx = k @ p
+    if eta != 0.0:
+        vx = vx - eta * (jnp.einsum("mn,mnd->md", k, -diff) / sig2)
+    if withlogdet:
+        km = k * mask_x[:, None] if mask_x is not None else k
+        # -sum_i div v(x_i) = sum_i sum_j p_j . (x_i - q_j) K / s^2 ... sign:
+        # div v(x) = sum_j p_j.gradK(x - q_j) - eta LapK(x - q_j)
+        # gradK(x_i - q_j) = -diff_ij K / s^2 with diff = x_i - q_j
+        dcost = -jnp.einsum("mn,mnd,nd->", km, -diff, p) / sig2
+        if eta != 0.0:
+            dim = q.shape[-1]
+            dcost = dcost + eta * jnp.sum(km * (d2 / sigma**4 - dim / sigma**2))
+    else:
+        dcost = jnp.zeros((), dtype=q.dtype)
+    if mask_x is not None:
+        vx = vx * mask_x[:, None]
+    return vq, mgq, dcost, vx
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbour style reductions (kernel.py:324-328, point_sets.py:13-26)
+# ---------------------------------------------------------------------------
+
+def min_sqdist(x, y, mask_y=None):
+    """min_j |x_i - y_j|^2 (masked y excluded)."""
+    diff = x[:, None, :] - y[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    if mask_y is not None:
+        d2 = jnp.where(mask_y[None, :] > 0, d2, jnp.inf)
+    return jnp.min(d2, axis=1)
+
+
+def second_min_sqdist(x, mask=None):
+    """Second-smallest |x_i - x_j|^2 over j (nearest neighbour excluding self).
+
+    Used by intrinsic_scale (reference point_sets.py:23-25, Kmin(2)).
+    """
+    diff = x[:, None, :] - x[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    n = x.shape[0]
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    if mask is not None:
+        d2 = jnp.where(mask[None, :] > 0, d2, jnp.inf)
+    return jnp.min(d2, axis=1)
+
+
+def check_coverage(x, y, sigma, r_threshold, mask_x=None, mask_y=None):
+    """True for points x_i farther than r_threshold*sigma from every y_j.
+    (kernel.py:324-328)"""
+    uncov = min_sqdist(x, y, mask_y) > (r_threshold * sigma) ** 2
+    if mask_x is not None:
+        uncov = jnp.logical_and(uncov, mask_x > 0)
+    return uncov

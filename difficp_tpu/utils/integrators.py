@@ -1,0 +1,61 @@
+"""Fixed-step ODE integrators as ``lax.scan`` loops over pytree states.
+
+The reference integrates with Python loops returning the whole trajectory
+list (reference diffICP/tools/integrators.py:20-51, Euler and Ralston
+second-order).  Here the time loop is a ``lax.scan`` so the whole shoot is a
+single compiled program, differentiable with ``jax.grad``; the trajectory is
+returned as stacked arrays (nt+1 leading axis, t=0 included) when requested.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def integrate(
+    ode_fn: Callable,
+    state0,
+    nt: int = 10,
+    scheme: str = "Ralston",
+    deltat: float = 1.0,
+    save_traj: bool = False,
+):
+    """Integrate d(state)/dt = ode_fn(state) from t=0 to deltat in nt steps.
+
+    :param ode_fn: pytree -> pytree time derivative.
+    :param state0: initial pytree state.
+    :param scheme: "Euler" or "Ralston" (2nd order; reference default).
+    :param save_traj: if True also return the stacked trajectory (length
+        nt+1, including the initial state), else None.
+    :return: (final_state, traj_or_None)
+    """
+    dt = deltat / nt
+
+    if scheme == "Euler":
+        def step(x, _):
+            xdot = ode_fn(x)
+            nxt = jax.tree.map(lambda a, b: a + dt * b, x, xdot)
+            return nxt, (nxt if save_traj else None)
+    elif scheme == "Ralston":
+        def step(x, _):
+            xdot = ode_fn(x)
+            xi = jax.tree.map(lambda a, b: a + (2.0 * dt / 3.0) * b, x, xdot)
+            xdoti = ode_fn(xi)
+            nxt = jax.tree.map(
+                lambda a, b, c: a + (0.25 * dt) * (b + 3.0 * c), x, xdot, xdoti
+            )
+            return nxt, (nxt if save_traj else None)
+    else:
+        raise ValueError(f"Unknown integration scheme: {scheme}")
+
+    final, traj = jax.lax.scan(step, state0, None, length=nt)
+    if save_traj:
+        # prepend t=0 state
+        traj = jax.tree.map(
+            lambda t0, tr: jnp.concatenate([t0[None], tr], axis=0), state0, traj
+        )
+        return final, traj
+    return final, None
