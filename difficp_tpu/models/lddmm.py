@@ -1,0 +1,238 @@
+"""LDDMM geodesic shooting for point sets (classic or with logdet term).
+
+Functional re-design of the reference ``LDDMMModel`` (reference
+diffICP/core/LDDMM.py:28-398):
+
+- Vector fields v(x) = sum_j [ p_j K(x - q_j) - eta (grad K)(x - q_j) ] with
+  eta = 1/lambda (gradcomponent) or 0 (LDDMM.py:24-26, 100-116).
+- Hamiltonian H(q, p) (LDDMM.py:142-159) and the hand-derived Hamiltonian
+  ODE dq/dt = v(q), dp/dt = -grad_q H with the logdet divergence cost
+  accumulated along the trajectory (LDDMM.py:176-227).  The RHS uses the
+  *fused* reductions in ``difficp_tpu.ops.reductions`` (kernel terms
+  computed once per evaluation).
+- Model versions "classic" / "logdet" / "hybrid" via the same
+  (gradcomponent, withlogdet) switches (LDDMM.py:43-49).
+- ``shoot`` is a ``lax.scan`` (Euler / Ralston), so dL/dp0 comes from
+  ``jax.grad`` straight through the integrator — replacing torch autograd
+  through an unrolled Python loop.
+- ``optimize`` minimizes trajloss + dataloss over p0 with the jittable,
+  vmappable L-BFGS in ``difficp_tpu.utils.lbfgs`` (reference optim contract).
+
+Masking: ``qmask`` marks real support rows, ``xmask`` real data rows.  With
+``p`` zero on padded rows and the RHS row-masked, padded slots stay exactly
+frozen through the shoot.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from difficp_tpu.ops import reductions as red
+from difficp_tpu.ops.solvers import kpinv_solve, kridge_solve, svd_pow
+from difficp_tpu.utils.integrators import integrate
+from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+
+class LDDMMConfig(NamedTuple):
+    """Static model configuration (reference LDDMM.py:33-65)."""
+    sigma: float = 1.0
+    lambd: float = 2.0
+    gradcomponent: bool = True
+    withlogdet: bool = True
+    nt: int = 10
+    scheme: str = "Ralston"
+
+    @property
+    def eta(self) -> float:
+        return 1.0 / self.lambd if self.gradcomponent else 0.0
+
+
+def make_config(
+    sigma: float,
+    lambd: float,
+    version: Optional[str] = None,
+    gradcomponent: bool = True,
+    withlogdet: bool = True,
+    nt: int = 10,
+    scheme: str = "Ralston",
+) -> LDDMMConfig:
+    """Version shortcut resolution (reference LDDMM.py:43-49):
+    classic = no gradcomponent, no logdet; logdet = both; hybrid = logdet
+    energy with a classic vector field."""
+    if version == "classic":
+        gradcomponent, withlogdet = False, False
+    elif version == "logdet":
+        gradcomponent, withlogdet = True, True
+    elif version == "hybrid":
+        gradcomponent, withlogdet = False, True
+    elif version is not None:
+        raise ValueError(f"unknown LDDMM version: {version}")
+    return LDDMMConfig(
+        sigma=float(sigma), lambd=float(lambd), gradcomponent=gradcomponent,
+        withlogdet=withlogdet, nt=int(nt), scheme=scheme,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def v(cfg: LDDMMConfig, x, q, p, qmask=None):
+    """RKHS vector field at points x (LDDMM.py:100-116)."""
+    return red.v_field(x, q, p, cfg.sigma, cfg.eta, qmask)
+
+
+def hamiltonian(cfg: LDDMMConfig, q, p, qmask=None):
+    """H(q, p) (LDDMM.py:142-159)."""
+    return red.hamiltonian(q, p, cfg.sigma, cfg.eta, qmask)
+
+
+def mdivsum(cfg: LDDMMConfig, x, q, p, qmask=None, xmask=None):
+    """Sum of -div(v) over data points x (LDDMM.py:120-138)."""
+    return red.mdivsum(x, q, p, cfg.sigma, cfg.eta, qmask, xmask)
+
+
+class ShootState(NamedTuple):
+    q: jax.Array
+    p: jax.Array
+    cost: jax.Array          # accumulated divergence cost (scalar)
+    x: Optional[jax.Array]   # advected external points, or None
+
+
+def _ode(cfg: LDDMMConfig, qmask, xmask):
+    """Hamiltonian ODE right-hand side (LDDMM.py:176-227), fused."""
+
+    def fn(s: ShootState) -> ShootState:
+        if s.x is None:
+            vq, mgq, dcost = red.lddmm_rhs_self(
+                s.q, s.p, cfg.sigma, cfg.eta, cfg.withlogdet, qmask
+            )
+            return ShootState(q=vq, p=mgq, cost=dcost, x=None)
+        vq, mgq, dcost, vx = red.lddmm_rhs_ext(
+            s.q, s.p, s.x, cfg.sigma, cfg.eta, cfg.withlogdet, qmask, xmask
+        )
+        return ShootState(q=vq, p=mgq, cost=dcost, x=vx)
+
+    return fn
+
+
+def shoot(
+    cfg: LDDMMConfig,
+    q0,
+    p0,
+    x0=None,
+    qmask=None,
+    xmask=None,
+    save_traj: bool = False,
+):
+    """Simulate the geodesic ODE from (q0, p0), optionally advecting an
+    external point set x0 (LDDMM.py:286-299).
+
+    :return: (final ShootState, trajectory ShootState with nt+1 leading dim
+        or None)
+    """
+    state0 = ShootState(
+        q=q0, p=p0, cost=jnp.zeros((), q0.dtype), x=x0
+    )
+    return integrate(
+        _ode(cfg, qmask, xmask), state0, nt=cfg.nt, scheme=cfg.scheme,
+        save_traj=save_traj,
+    )
+
+
+def trajloss(cfg: LDDMMConfig, q0, p0, final_cost, qmask=None):
+    """LDDMM trajectory energy lambda * H(q0, p0) + divcost (LDDMM.py:318-334)."""
+    return cfg.lambd * hamiltonian(cfg, q0, p0, qmask) + final_cost
+
+
+class OptimizeResult(NamedTuple):
+    p0: jax.Array
+    final: ShootState     # arrival state of the last shoot
+    trajl: jax.Array
+    datal: jax.Array
+    n_steps: jax.Array
+    change: jax.Array
+
+
+def optimize(
+    cfg: LDDMMConfig,
+    dataloss: Callable,
+    q0,
+    p0,
+    x0=None,
+    qmask=None,
+    xmask=None,
+    nmax: int = 10,
+    tol: float = 1e-3,
+    errthresh: float = 1e8,
+) -> OptimizeResult:
+    """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
+
+    ``dataloss(pts)`` consumes the warped data points (x1 if x0 given, else
+    q1).  Gradients flow by ``jax.grad`` through the scan-based shoot.
+    """
+    q0 = jax.lax.stop_gradient(q0)
+    if x0 is not None:
+        x0 = jax.lax.stop_gradient(x0)
+
+    def lossfn(p):
+        final, _ = shoot(cfg, q0, p, x0, qmask, xmask)
+        pts = final.x if x0 is not None else final.q
+        return trajloss(cfg, q0, p, final.cost, qmask) + dataloss(pts)
+
+    res = lbfgs_optimize(
+        lossfn, p0, nmax=nmax, tol=tol, errthresh=errthresh
+    )
+    p_best = res.params
+    final, _ = shoot(cfg, q0, p_best, x0, qmask, xmask)
+    trajl = trajloss(cfg, q0, p_best, final.cost, qmask)
+    pts = final.x if x0 is not None else final.q
+    datal = dataloss(pts)
+    return OptimizeResult(
+        p0=p_best, final=final, trajl=trajl, datal=datal,
+        n_steps=res.n_steps, change=res.change,
+    )
+
+
+# ---------------------------------------------------------------------------
+# v <-> p conversions and prior sampling (LDDMM.py:235-280)
+# ---------------------------------------------------------------------------
+
+def v2p(cfg: LDDMMConfig, q, v_target, rcond=1e-3, alpha=1e-4,
+        version: str = "pinv", qmask=None):
+    """Estimate momenta p with v(q, q, p) ~= v_target (ill-posed; pinv or
+    ridge regularized, LDDMM.py:235-253)."""
+    rhs = v_target
+    if cfg.eta != 0.0:
+        rhs = rhs + cfg.eta * red.grad_kred(q, q, cfg.sigma, qmask)
+    if version == "pinv":
+        return kpinv_solve(q, rhs, cfg.sigma, rcond=rcond, mask=qmask)
+    elif version in ("ridge", "ridge_keops", "ridge_pytorch"):
+        return kridge_solve(q, rhs, cfg.sigma, alpha=alpha, mask=qmask)
+    raise ValueError(f"unknown v2p version: {version}")
+
+
+def random_p(cfg: LDDMMConfig, q, key, rcond=1e-3, alpha=1e-4,
+             version: str = "svd", qmask=None):
+    """Sample momenta from the Bayesian prior P(p) ~ exp(-lambda H(q, p))
+    (LDDMM.py:257-280).  Only for eta == 0, like the reference."""
+    if cfg.eta != 0.0:
+        raise NotImplementedError("random_p requires gradcomponent=False")
+    d2 = jnp.sum((q[:, None, :] - q[None, :, :]) ** 2, axis=-1)
+    k = jnp.exp(-d2 / (2.0 * cfg.sigma**2))
+    if qmask is not None:
+        mm = qmask[:, None] * qmask[None, :]
+        k = k * mm + (1.0 - qmask)[:, None] * jnp.eye(q.shape[0], dtype=q.dtype)
+    zeta = jax.random.normal(key, q.shape, q.dtype) / jnp.sqrt(cfg.lambd)
+    if version == "svd":
+        p = svd_pow(k, -0.5, rcond) @ zeta
+    elif version == "ridge":
+        chol = jnp.linalg.cholesky(k + alpha * jnp.eye(k.shape[0], dtype=q.dtype))
+        p = jax.scipy.linalg.solve_triangular(chol, zeta, lower=True)
+    else:
+        raise ValueError(f"unknown random_p version: {version}")
+    if qmask is not None:
+        p = p * qmask[:, None]
+    return p
