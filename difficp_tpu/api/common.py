@@ -1,0 +1,80 @@
+"""Shared helpers for the api layer: config-dict defaulting and model
+construction from the reference's parameter schema."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from difficp_tpu.models import affine as affine_mod
+from difficp_tpu.models import gmm as gmm_mod
+from difficp_tpu.models import lddmm as lddmm_mod
+
+ALLOWED_REG_TYPES = ("rigid", "similarity", "general_affine", "diffeomorphic")
+
+DEFAULT_SUPPORT_SCHEME = {"scheme": "grid", "rho": 1.0}
+
+
+def set_default(dico: dict, key, value):
+    """Reference's defaulting helper (ICP_two_set.py:141-143)."""
+    if dico.get(key) is None:
+        dico[key] = value
+
+
+def default_numerical_options(numerical_options: Optional[dict]) -> dict:
+    """Numerical option defaults shared by every api function
+    (ICP_two_set.py:145-153)."""
+    opts = dict(numerical_options or {})
+    set_default(opts, "support_LDDMM", dict(DEFAULT_SUPPORT_SCHEME))
+    set_default(opts, "computversion", "pallas")  # "pallas" (tiled) or "dense"
+    set_default(opts, "gradcomponent_LDDMM", False)
+    set_default(opts, "integration_scheme_LDDMM", "Euler")
+    set_default(opts, "integration_nt_LDDMM", 10)
+    return opts
+
+
+def default_optim_options(optim_options: Optional[dict]) -> dict:
+    opts = dict(optim_options or {})
+    set_default(opts, "max_iterations", 25)
+    set_default(opts, "convergence_tolerance", 1e-3)
+    set_default(opts, "max_repeat_GMM", 10)
+    return opts
+
+
+def build_lddmm_config(registration_parameters, numerical_options, lam) -> lddmm_mod.LDDMMConfig:
+    return lddmm_mod.make_config(
+        sigma=registration_parameters["sigma_LDDMM"],
+        lambd=lam,
+        gradcomponent=numerical_options["gradcomponent_LDDMM"],
+        withlogdet=True,
+        nt=numerical_options["integration_nt_LDDMM"],
+        scheme=numerical_options["integration_scheme_LDDMM"],
+    )
+
+
+def build_affine_config(reg_type: str) -> affine_mod.AffineConfig:
+    return affine_mod.AffineConfig(version=reg_type, withlogdet=True, with_t=True)
+
+
+def gmm_from_two_set_params(x_b, gmm_parameters: dict):
+    """GMM with mu fixed at xB, per ICP_two_set semantics
+    (ICP_two_set.py:175-187)."""
+    use_outliers = gmm_parameters.get("outlier_weight") is not None
+    state, cfg = gmm_mod.create(
+        jnp.asarray(np.asarray(x_b, np.float32)),
+        sigma=gmm_parameters["sigma"],
+        use_outliers=use_outliers,
+    )
+    if isinstance(gmm_parameters.get("outlier_weight"), (int, float)):
+        state = state._replace(
+            eta0=jnp.asarray(float(gmm_parameters["outlier_weight"]))
+        )
+    cfg = cfg._replace(
+        optimize_mu=False,
+        optimize_sigma=bool(gmm_parameters["optimize_sigma"]),
+        optimize_w=False,
+        optimize_eta0=gmm_parameters.get("outlier_weight") == "optimize",
+    )
+    return state, cfg

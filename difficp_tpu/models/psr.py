@@ -1,0 +1,492 @@
+"""Multiple Point Set Registration (the diffICP algorithm proper).
+
+Re-design of reference diffICP/core/PSR.py:42-653 (MultiPSR / DiffPSR /
+AffinePSR).  The alternating free-energy minimization is unchanged:
+
+    F = sum_{k,s} quadloss[k,s] + sum_k regloss[k] + sum_s Cfe[s]
+    loop:  GMM_opt (EM on each structure's GMM)  ->  Reg_opt (per-frame
+    registration optimization), with F monotone non-increasing (PSR.py:114-127,
+    226-236 — the correctness oracle).
+
+TPU-first architecture (not a port):
+
+- Ragged frames/structures are padded to static shapes with masks
+  (utils/io.pad_structures) instead of numpy object arrays (PSR.py:90-100).
+- The per-structure EM runs on all frames' warped points *jointly* simply by
+  flattening the padded (K, Nmax_s) block — masked EM makes the reference's
+  ragged concatenation (PSR.py:248) unnecessary.  Under a 'frames'-sharded
+  mesh the same code distributes: per-point statistics are computed locally
+  and the M-step sums become cross-device psums (see difficp_tpu/parallel).
+- Reg_opt runs all K frames in lockstep via a vmapped L-BFGS (replacing the
+  sequential ``for k in range(K)`` loop, PSR.py:528), one compiled program.
+- State lives in arrays on device; the class is a thin host-side driver.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difficp_tpu.models import affine as affine_mod
+from difficp_tpu.models import gmm as gmm_mod
+from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
+from difficp_tpu.utils.io import PaddedFrames, pad_frames, pad_structures
+from difficp_tpu.utils.point_sets import decimate, grid_support
+
+
+# ---------------------------------------------------------------------------
+# jitted work functions (pure; static configs)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "max_iterations", "skip_m"))
+def _gmm_opt(state, x, mask, cfg, max_iterations, tol, skip_m=False):
+    """EM on one structure over all frames' (flattened, masked) points."""
+    k, n, d = x.shape
+    x_flat = x.reshape(k * n, d)
+    m_flat = mask.reshape(k * n)
+    if skip_m:
+        out = gmm_mod.em_step(state, x_flat, m_flat, cfg, skip_m=True)
+        n_iters = jnp.asarray(0)
+        st, y, cfe = out.state, out.y, out.cfe
+    else:
+        opt = gmm_mod.em_optimization(
+            state, x_flat, m_flat, cfg, max_iterations=max_iterations, tol=tol
+        )
+        st, y, cfe, n_iters = opt.state, opt.y, opt.cfe, opt.n_iters
+    return st, y.reshape(k, n, d), cfe, n_iters
+
+
+@partial(jax.jit, static_argnames=())
+def _quadloss(x1, y, mask, sig2):
+    """quadloss[k] = sum_n m (x1 - y)^2 / (2 sig2_n)  (PSR.py:217-222)."""
+    return jnp.sum(
+        mask[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None]), axis=(-2, -1)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lcfg", "use_ext", "nmax", "coverage_check"),
+)
+def _reg_opt_lddmm(
+    lcfg, q0, a0, x0, y, sig2, qmask, xmask, nmax, tol, use_ext,
+    coverage_check, r_cover_warn=2.0,
+):
+    """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
+
+    Replaces the reference's per-frame loop + torch LBFGS (PSR.py:521-569).
+    Returns new a0, warped points x1, per-frame (regloss, datal, nsteps,
+    change) and per-frame uncovered point counts along the final shoot.
+    """
+
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk):
+        def dataloss(pts):
+            return jnp.sum(
+                xmk[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
+            )
+
+        res = lddmm_mod.optimize(
+            lcfg,
+            dataloss,
+            q0k,
+            a0k,
+            x0k if use_ext else None,
+            qmk,
+            xmk if use_ext else None,
+            nmax=nmax,
+            tol=tol,
+        )
+        # one more shoot saving the trajectory: warped points + coverage
+        final, traj = lddmm_mod.shoot(
+            lcfg, q0k, res.p0, x0k if use_ext else None, qmk,
+            xmk if use_ext else None, save_traj=True,
+        )
+        x1k = final.x if use_ext else final.q
+        if coverage_check and use_ext:
+            # uncovered data points at any time step (PSR.py:556-566)
+            def unc(qt, xt):
+                d2 = jnp.min(
+                    jnp.sum((xt[:, None, :] - qt[None, :, :]) ** 2, -1)
+                    + jnp.where(qmk[None, :] > 0, 0.0, jnp.inf),
+                    axis=1,
+                )
+                return jnp.sum(
+                    jnp.where(
+                        (d2 > (r_cover_warn * lcfg.sigma) ** 2) & (xmk > 0), 1, 0
+                    )
+                )
+
+            uncovered = jax.vmap(unc)(traj.q, traj.x)
+        else:
+            uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
+        return res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change, uncovered
+
+    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask)
+
+
+@partial(jax.jit, static_argnames=("acfg",))
+def _reg_opt_affine(acfg, x0, y, z, xmask):
+    """All-frames closed-form affine fits (PSR.py:620-653)."""
+
+    def one(x0k, yk, zk, xmk):
+        fit = affine_mod.optimize(acfg, x0k, yk, zk, mask=xmk)
+        return fit.m, fit.t, fit.tx, fit.datal, fit.regl
+
+    return jax.vmap(one)(x0, y, z, xmask)
+
+
+@partial(jax.jit, static_argnames=("lcfg", "version"))
+def _v2p_all(lcfg, q0, v_target, qmask, rcond, version="pinv"):
+    return jax.vmap(
+        lambda q, v, m: lddmm_mod.v2p(lcfg, q, v, rcond=rcond, version=version, qmask=m)
+    )(q0, v_target, qmask)
+
+
+@partial(jax.jit, static_argnames=("lcfg",))
+def _v_all(lcfg, x, q, p, qmask):
+    return jax.vmap(lambda xk, qk, pk, mk: lddmm_mod.v(lcfg, xk, qk, pk, mk))(
+        x, q, p, qmask
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+class MultiPSR:
+    """Common machinery of the diffeomorphic / affine variants.
+
+    Mirrors reference MultiPSR (PSR.py:42-345): holds the padded point sets,
+    per-structure GMMs, and the free-energy bookkeeping with the
+    monotonicity warning.
+    """
+
+    def __init__(self, x, gmm_states, gmm_cfgs):
+        self.printstuff = True
+
+        self.structs: list[PaddedFrames] = pad_structures(x)
+        self.S = len(self.structs)
+        self.K = self.structs[0].k
+        self.D = self.structs[0].x.shape[2]
+
+        # static slices of each structure inside the concatenated frame view
+        self.slices = []
+        off = 0
+        for pf in self.structs:
+            self.slices.append((off, off + pf.nmax))
+            off += pf.nmax
+        self.Ntot = off
+
+        # concatenated (K, Ntot, D) views
+        self.x0 = jnp.concatenate([pf.x for pf in self.structs], axis=1)
+        self.xmask = jnp.concatenate([pf.mask for pf in self.structs], axis=1)
+        self.x1 = self.x0
+        self.y = self.x0
+
+        # GMM models (copied per structure, reference PSR.py:104-112)
+        if isinstance(gmm_states, gmm_mod.GMMState):
+            gmm_states = [gmm_states] * self.S
+            gmm_cfgs = [gmm_cfgs] * self.S
+        if len(gmm_states) != self.S:
+            raise ValueError("need one GMM per structure")
+        self.gmm = [gmm_mod.GMMState(*map(jnp.asarray, st)) for st in gmm_states]
+        self.gmm_cfg = list(gmm_cfgs)
+        # outlier reference volume from each structure's data bounding box
+        for s in range(self.S):
+            if self.gmm_cfg[s].use_outliers and float(self.gmm[s].vol0) == 0.0:
+                pf = self.structs[s]
+                flat = pf.x.reshape(-1, self.D)
+                fmask = pf.mask.reshape(-1)
+                self.gmm[s] = gmm_mod.set_vol0(self.gmm[s], flat, fmask)
+
+        # free-energy bookkeeping (PSR.py:114-127)
+        self.Cfe = [0.0] * self.S
+        self.regloss = np.zeros(self.K)
+        self.quadloss = np.zeros((self.K, self.S))
+        self.FE: Optional[float] = None
+        self.last_reg_stats = None
+        self.fe_increase_events = 0
+
+    # ----- structure views ------------------------------------------------
+
+    def struct_view(self, arr, s):
+        lo, hi = self.slices[s]
+        return arr[:, lo:hi]
+
+    def _sig2_vector(self):
+        """(K, Ntot) per-point sigma^2 from each structure's current GMM
+        (PSR.py:508-516)."""
+        segs = []
+        for s in range(self.S):
+            pf = self.structs[s]
+            sig2 = self.gmm[s].sigma ** 2
+            segs.append(jnp.broadcast_to(sig2, (self.K, pf.nmax)))
+        return jnp.concatenate(segs, axis=1)
+
+    def get_data_points(self, k=0, s=0):
+        lo, hi = self.slices[s]
+        return np.asarray(self.x0[k, lo:hi])[: int(self.structs[s].n[k])]
+
+    def get_warped_data_points(self, k=0, s=0):
+        lo, hi = self.slices[s]
+        return np.asarray(self.x1[k, lo:hi])[: int(self.structs[s].n[k])]
+
+    def get_template(self, s=0):
+        return np.asarray(self.gmm[s].mu)
+
+    # ----- GMM updates ----------------------------------------------------
+
+    def _apply_gmm_outputs(self, s, state, y_s, cfe):
+        self.gmm[s] = state
+        lo, hi = self.slices[s]
+        self.y = self.y.at[:, lo:hi].set(y_s)
+        self.Cfe[s] = float(cfe)
+        pf = self.structs[s]
+        ql = _quadloss(
+            self.struct_view(self.x1, s), y_s, pf.mask,
+            jnp.broadcast_to(state.sigma**2, (self.K, pf.nmax)),
+        )
+        self.quadloss[:, s] = np.asarray(ql)
+
+    def update_GMM_targets(self):
+        """Recompute targets y / Cfe / quadloss without parameter updates
+        (PSR.py:197-213)."""
+        for s in range(self.S):
+            pf = self.structs[s]
+            st, y_s, cfe, _ = _gmm_opt(
+                self.gmm[s], self.struct_view(self.x1, s), pf.mask,
+                self.gmm_cfg[s], 1, 0.0, skip_m=True,
+            )
+            self._apply_gmm_outputs(s, st, y_s, cfe)
+        self.update_FE()
+
+    def GMM_opt(self, max_iterations=100, tol=1e-5):
+        """Partial optimization, GMM part (PSR.py:242-271)."""
+        for s in range(self.S):
+            pf = self.structs[s]
+            st, y_s, cfe, iters = _gmm_opt(
+                self.gmm[s], self.struct_view(self.x1, s), pf.mask,
+                self.gmm_cfg[s], max_iterations, tol,
+            )
+            self._apply_gmm_outputs(s, st, y_s, cfe)
+            msg = f"GMM optim (structure {s}) : {int(iters)} EM steps"
+            if self.gmm_cfg[s].use_outliers:
+                p0 = 1.0 / (1.0 + math.exp(-float(self.gmm[s].eta0)))
+                msg += f", p_outlier={p0:.4}"
+            self.update_FE(message=msg)
+
+    def reinitialize_GMM(self, s=None, do_mu=True, do_sigma=True, seed=0):
+        """Ad hoc re-initialization adapted to upcoming EM (PSR.py:143-167)."""
+        rng = np.random.default_rng(seed)
+        slist = range(self.S) if s is None else [s]
+        for si in slist:
+            pf = self.structs[si]
+            pts = np.concatenate([pf.unpad(k) for k in range(self.K)], axis=0)
+            g = self.gmm[si]
+            if do_mu and self.gmm_cfg[si].optimize_mu:
+                mu = pts.mean(0) + 0.05 * pts.std() * rng.standard_normal(
+                    (g.mu.shape[0], self.D)
+                ).astype(np.float32)
+                g = g._replace(mu=jnp.asarray(mu))
+            if do_sigma and self.gmm_cfg[si].optimize_sigma:
+                g = g._replace(sigma=jnp.asarray(0.25 * pts.std(), jnp.float32))
+            self.gmm[si] = g
+        self.update_GMM_targets()
+
+    # ----- free energy ----------------------------------------------------
+
+    def update_FE(self, message=None):
+        """F bookkeeping with monotonicity check (PSR.py:226-236)."""
+        fe = sum(self.Cfe) + float(self.regloss.sum()) + float(self.quadloss.sum())
+        if self.printstuff and message is not None:
+            print(message.ljust(70) + f"Total free energy = {fe:.8}")
+        if self.FE is not None and fe > self.FE + 1e-4 * abs(self.FE) + 1e-6:
+            self.fe_increase_events += 1
+            print("WARNING: measured increase in free energy ! Should not happen.")
+        self.FE = fe
+
+    def Reg_opt(self, tol=1e-3, nmax=10):
+        raise NotImplementedError
+
+
+class DiffPSR(MultiPSR):
+    """MultiPSR with diffeomorphic (LDDMM) registrations (PSR.py:354-569)."""
+
+    def __init__(self, x, gmm_states, gmm_cfgs, lddmm_cfg: lddmm_mod.LDDMMConfig):
+        super().__init__(x, gmm_states, gmm_cfgs)
+        self.lcfg = lddmm_cfg
+
+        # default support: all data points of each frame (PSR.py:394-397)
+        self.support_scheme = None
+        self.rho = None
+        self.q0 = self.x0
+        self.qmask = self.xmask
+        self.a0 = jnp.zeros_like(self.q0)
+        self.initialize_a0()
+        self.update_GMM_targets()
+        self.last_traj = None
+
+    # ----- momenta management (PSR.py:406-425) ----------------------------
+
+    def initialize_a0(self, rcond=1e-3):
+        """a0 for (approximately) zero initial speeds — not zero when the
+        vector field carries a gradcomponent (PSR.py:406-413)."""
+        v0 = jnp.zeros_like(self.q0)
+        self.a0 = _v2p_all(self.lcfg, self.q0, v0, self.qmask, rcond)
+
+    def update_a0(self, q0_prev, qmask_prev, a0_prev=None, rcond=1e-1):
+        """Project the previous vector field onto the new support
+        (PSR.py:415-425)."""
+        if a0_prev is None:
+            a0_prev = self.a0
+        v_new = _v_all(self.lcfg, self.q0, q0_prev, a0_prev, qmask_prev)
+        self.a0 = _v2p_all(self.lcfg, self.q0, v_new, self.qmask, rcond)
+
+    def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
+                           yticks=None, q0=None):
+        """Choose LDDMM support points: greedy decimation of the data, a
+        rectangular grid, or custom points (PSR.py:430-493)."""
+        self.rho = rho
+        r_cover = rho * self.lcfg.sigma
+        q0_prev, qmask_prev = self.q0, self.qmask
+        self.support_scheme = scheme
+
+        if scheme == "decim":
+            per_frame = []
+            for k in range(self.K):
+                pts = []
+                for s in range(self.S):
+                    xs = self.structs[s].unpad(k)
+                    kept, _ = decimate(xs, r_cover)
+                    pts.append(xs[kept])
+                allk = np.concatenate(pts, axis=0)
+                if self.printstuff:
+                    ntot = sum(int(self.structs[s].n[k]) for s in range(self.S))
+                    print(
+                        f"Decimation, frame {k} : {allk.shape[0]} support points "
+                        f"({allk.shape[0] / ntot:.0%} of original sets)"
+                    )
+                per_frame.append(allk)
+            padded = pad_frames(per_frame)
+            self.q0, self.qmask = padded.x, padded.mask
+        elif scheme == "grid":
+            ticks = None
+            if xticks is not None and yticks is not None:
+                ticks = [np.asarray(xticks), np.asarray(yticks)]
+            pts = grid_support(
+                np.asarray(self.x0).reshape(-1, self.D), r_cover, ticks=ticks
+            )
+            self.q0 = jnp.broadcast_to(
+                jnp.asarray(pts)[None], (self.K,) + pts.shape
+            )
+            self.qmask = jnp.ones((self.K, pts.shape[0]), jnp.float32)
+        elif scheme == "custom":
+            assert q0 is not None
+            q0 = np.asarray(q0, np.float32)
+            self.q0 = jnp.broadcast_to(jnp.asarray(q0)[None], (self.K,) + q0.shape)
+            self.qmask = jnp.ones((self.K, q0.shape[0]), jnp.float32)
+        else:
+            raise ValueError(f"Unknown support scheme: {scheme}")
+
+        self.update_a0(q0_prev, qmask_prev, rcond=1e-1)
+
+    # ----- registration optimization (PSR.py:521-569) ----------------------
+
+    def Reg_opt(self, tol=1e-3, nmax=10):
+        use_ext = self.support_scheme is not None
+        sig2 = self._sig2_vector()
+        a0, x1, trajl, datal, nsteps, change, uncovered = _reg_opt_lddmm(
+            self.lcfg, self.q0, self.a0,
+            self.x0, self.y, sig2, self.qmask, self.xmask,
+            nmax, tol, use_ext, True,
+        )
+        self.a0 = a0
+        self.x1 = x1
+        self.regloss = np.asarray(trajl, np.float64)
+
+        for s in range(self.S):
+            pf = self.structs[s]
+            ql = _quadloss(
+                self.struct_view(self.x1, s), self.struct_view(self.y, s),
+                pf.mask,
+                jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
+            )
+            self.quadloss[:, s] = np.asarray(ql)
+
+        unc = np.asarray(uncovered)
+        if use_ext and unc.sum() > 0 and self.printstuff:
+            print(
+                f"WARNING : uncovered points during shooting "
+                f"(max {unc.max()} at one time step). Choose a smaller rho."
+            )
+        self.last_reg_stats = dict(
+            nsteps=np.asarray(nsteps), change=np.asarray(change),
+            datal=np.asarray(datal), uncovered=unc,
+        )
+        total_loss = float(np.asarray(trajl).sum() + np.asarray(datal).sum())
+        self.update_FE(
+            message=f"Reg_opt ({self.K} frames in lockstep) : loss={total_loss:.4}"
+        )
+
+    def Registration(self, k=0) -> LDDMMRegistration:
+        return LDDMMRegistration(
+            cfg=self.lcfg, q0=self.q0[k], a0=self.a0[k], qmask=self.qmask[k]
+        )
+
+    def trajectories(self, k=0, support=False):
+        """Shoot trajectories for frame k (viz; PSR.py:310-345)."""
+        use_ext = self.support_scheme is not None
+        _, traj = lddmm_mod.shoot(
+            self.lcfg, self.q0[k], self.a0[k],
+            self.x0[k] if use_ext else None,
+            self.qmask[k], self.xmask[k] if use_ext else None, save_traj=True,
+        )
+        if use_ext and not support:
+            return np.asarray(traj.x)
+        return np.asarray(traj.q)
+
+
+class AffinePSR(MultiPSR):
+    """MultiPSR with affine registrations (PSR.py:578-653)."""
+
+    def __init__(self, x, gmm_states, gmm_cfgs, affine_cfg: affine_mod.AffineConfig):
+        super().__init__(x, gmm_states, gmm_cfgs)
+        self.acfg = affine_cfg
+        self.M = jnp.broadcast_to(
+            jnp.eye(self.D, dtype=jnp.float32)[None], (self.K, self.D, self.D)
+        )
+        self.t = jnp.zeros((self.K, self.D), jnp.float32)
+        self.update_GMM_targets()
+
+    def Reg_opt(self, tol=1e-3, nmax=1):
+        # z_n = 1/(2 sigma_s^2) (PSR.py:630-633); w_n = 1 for real points
+        sig2 = self._sig2_vector()
+        z = 1.0 / (2.0 * sig2)
+        m, t, tx, datal, regl = _reg_opt_affine(
+            self.acfg, self.x0, self.y, z, self.xmask
+        )
+        self.M, self.t, self.x1 = m, t, tx
+        self.regloss = np.asarray(regl, np.float64)
+        for s in range(self.S):
+            pf = self.structs[s]
+            ql = _quadloss(
+                self.struct_view(self.x1, s), self.struct_view(self.y, s),
+                pf.mask,
+                jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
+            )
+            self.quadloss[:, s] = np.asarray(ql)
+        total = float(np.asarray(datal).sum() + np.asarray(regl).sum())
+        self.update_FE(message=f"Affine Reg_opt ({self.K} frames) : loss={total:.4}")
+
+    def Registration(self, k=0) -> AffineRegistration:
+        return AffineRegistration(cfg=self.acfg, m=self.M[k], t=self.t[k])
+
+    def trajectories(self, k=0, **_):
+        return np.stack(
+            affine_mod.shoot(self.acfg, self.M[k], self.t[k], self.x0[k])
+        )

@@ -1,0 +1,85 @@
+"""End-to-end: diffICP_basic equivalent (single spiral point set onto a
+fixed spiral GMM, sigma optimized) vs the torch reference golden run
+(tests/make_goldens.py golden_basic; reference examples/diffICP_basic.py:74-119).
+
+Acceptance (BASELINE.md targets): final free energy and residuals within ~1%
+of the reference on the same seeded data, monotone free energy.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from difficp_tpu.models import gmm, lddmm
+from difficp_tpu.models.psr import DiffPSR
+
+HERE = os.path.dirname(__file__)
+SPIRAL = np.load(os.path.join(HERE, "goldens", "spiral.npz"))
+REF = np.load(os.path.join(HERE, "goldens", "basic_run.npz"))
+
+
+def build_psr():
+    x0 = SPIRAL["x0"]  # first spiral point set (N~106, D=2)
+    gmm_state = gmm.GMMState(
+        mu=jnp.asarray(SPIRAL["mu0"]),
+        w=jnp.zeros(SPIRAL["mu0"].shape[0]),
+        sigma=jnp.asarray(0.1),
+        eta0=jnp.asarray(0.0),
+        vol0=jnp.asarray(0.0),
+    )
+    gmm_cfg = gmm.GMMConfig(
+        use_outliers=False, optimize_mu=False, optimize_sigma=True,
+        optimize_w=False, optimize_eta0=False,
+    )
+    lcfg = lddmm.make_config(
+        sigma=0.2, lambd=5e2, version="classic", nt=10, scheme="Euler"
+    )
+    psr = DiffPSR(x0, gmm_state, gmm_cfg, lcfg)
+    psr.printstuff = False
+    psr.set_support_scheme("grid", rho=float(np.sqrt(2.0)))
+    return psr
+
+
+def test_basic_run_matches_reference():
+    psr = build_psr()
+    fes = []
+    for it in range(20):
+        psr.GMM_opt(tol=1e-5)
+        psr.Reg_opt(tol=1e-5, nmax=10)
+        fes.append(psr.FE)
+
+    fe_ref = float(REF["FE_seq"][-1])
+    assert abs(psr.FE - fe_ref) < 0.02 * abs(fe_ref), (psr.FE, fe_ref)
+
+    # sigma of the GMM converges to the same value
+    np.testing.assert_allclose(
+        float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=0.05
+    )
+
+    # warped points land on the same configuration
+    n = int(psr.structs[0].n[0])
+    x1 = np.asarray(psr.x1[0])[:n]
+    x1_ref = REF["final_x1"]
+    resid = np.sqrt(((x1 - x1_ref) ** 2).sum(-1))
+    assert resid.mean() < 0.02, resid.mean()
+
+    # free energy decreases monotonically across outer iterations
+    fes = np.asarray(fes)
+    assert np.all(np.diff(fes) <= 1e-3 * np.abs(fes[:-1]) + 1e-4)
+    # and no FE-increase warnings fired during the run
+    assert psr.fe_increase_events == 0
+
+
+def test_registration_handle_and_backward():
+    psr = build_psr()
+    for _ in range(3):
+        psr.GMM_opt(tol=1e-5)
+        psr.Reg_opt(tol=1e-4, nmax=3)
+    reg = psr.Registration()
+    pts = jnp.asarray(SPIRAL["x0"][:20])
+    fwd = reg.apply(pts)
+    back = reg.backward(fwd)
+    # (q1, -p1) back-shooting is the exact inverse only up to the nt=10
+    # Euler discretization error
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=2e-2)
