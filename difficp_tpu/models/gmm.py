@@ -119,6 +119,125 @@ class EMStepOut(NamedTuple):
     y: jax.Array    # (N, D) quadratic targets
     cfe: jax.Array  # ()  free-energy offset
     fe: jax.Array   # ()  free energy
+    gamt: jax.Array  # (N,) inlier responsibility 1-gamma0 (all ones without
+    #                  outliers) — the weight of each point's quadratic term
+    #                  in F (GMM.py:323).  The reference's PSR-level
+    #                  bookkeeping drops this weight (PSR.py:222), making its
+    #                  outlier-case free energy inconsistent; we keep it.
+
+
+class EStepOut(NamedTuple):
+    """Per-point E-step values (local to a shard)."""
+    lgam: jax.Array    # (N, C) log-responsibilities (GMM only)
+    gam: jax.Array     # (N, C)
+    d2: jax.Array      # (N, C) squared distances to centroids
+    lgam0: jax.Array   # (N,) outlier log-responsibility (zeros if unused)
+    lgamt: jax.Array   # (N,) log(1 - gamma0)
+    gamt: jax.Array    # (N,)
+
+
+class MStats(NamedTuple):
+    """Sufficient statistics for the M step — everything the update needs is
+    a sum over points, so sharded EM just psums this pytree
+    (SURVEY §3.3 distribution note)."""
+    s_gam: jax.Array    # (C,)   sum_n m gamma_nc
+    s_gx: jax.Array     # (C, D) sum_n m gamma_nc x_n
+    s_gd2: jax.Array    # ()     sum_n m sum_c gamma_nc D2_nc
+    s_g0: jax.Array     # ()     sum_n m gamma0_n
+    s_gt: jax.Array     # ()     sum_n m gammaT_n
+    n_eff: jax.Array    # ()     sum_n m
+
+
+def _e_step(state: GMMState, x, mask, cfg: GMMConfig) -> EStepOut:
+    """E step with old parameters (GMM.py:263-282)."""
+    n_pts, d = x.shape
+    dtype = x.dtype
+    d2 = jnp.sum((x[:, None, :] - state.mu[None, :, :]) ** 2, axis=-1)  # (N,C)
+    log_norm = _log_gauss_norm(state.sigma, d)
+    zw = jax.scipy.special.logsumexp(state.w)
+    t_nc = state.w[None, :] - zw - d2 / (2.0 * state.sigma**2) - log_norm
+    t_n = jax.scipy.special.logsumexp(t_nc, axis=1)  # total component score
+    lgam = t_nc - t_n[:, None]
+    gam = jnp.exp(lgam)
+    if cfg.use_outliers:
+        log_j0 = -jnp.log(state.vol0)
+        eta0_n = state.eta0 + log_j0 - t_n
+        lgam0, lgamt = log_ratio_to_proba(eta0_n)
+        gamt = jnp.exp(lgamt)
+    else:
+        lgam0 = jnp.zeros((n_pts,), dtype)
+        lgamt = jnp.zeros((n_pts,), dtype)
+        gamt = jnp.ones((n_pts,), dtype)
+    return EStepOut(lgam=lgam, gam=gam, d2=d2, lgam0=lgam0, lgamt=lgamt, gamt=gamt)
+
+
+def _m_stats(e: EStepOut, x, mask) -> MStats:
+    """Responsibility-weighted sufficient statistics (local sums)."""
+    gm = e.gam * mask[:, None]
+    return MStats(
+        s_gam=jnp.sum(gm, axis=0),
+        s_gx=gm.T @ x,
+        s_gd2=jnp.sum(gm * e.d2),
+        s_g0=jnp.sum(mask * jnp.exp(e.lgam0)),
+        s_gt=jnp.sum(mask * e.gamt),
+        n_eff=jnp.sum(mask),
+    )
+
+
+def _apply_stats(state: GMMState, stats: MStats, cfg: GMMConfig, d: int) -> GMMState:
+    """M step from (possibly psum-reduced) sufficient statistics
+    (GMM.py:286-299)."""
+    new = state
+    if cfg.optimize_mu:
+        new = new._replace(
+            mu=stats.s_gx / jnp.maximum(stats.s_gam, 1e-30)[:, None]
+        )
+    if cfg.use_outliers and cfg.optimize_eta0:
+        new = new._replace(
+            eta0=jnp.log(jnp.maximum(stats.s_g0, 1e-30))
+            - jnp.log(jnp.maximum(stats.s_gt, 1e-30))
+        )
+    if cfg.optimize_w:
+        new = new._replace(w=jnp.log(jnp.maximum(stats.s_gam, 1e-30)))
+    if cfg.optimize_sigma:
+        sigma = jnp.sqrt(stats.s_gd2 / (d * stats.n_eff))
+        if cfg.ensure_continuum:
+            intr = jnp.sqrt(jnp.mean(second_min_sqdist(new.mu)))
+            sigma = jnp.maximum(sigma, intr)
+        new = new._replace(sigma=sigma)
+    return new
+
+
+def _em_values(new: GMMState, old: GMMState, e: EStepOut, x, mask,
+               cfg: GMMConfig):
+    """Quadratic targets Y and local Cfe / quad sums with updated parameters
+    (GMM.py:301-323 / 462-496)."""
+    d = x.shape[1]
+    y = e.gam @ new.mu
+    lpi = new.w - jax.scipy.special.logsumexp(new.w)
+    log_norm_new = _log_gauss_norm(new.sigma, d)
+    mu_sq = jnp.sum(new.mu**2, axis=-1)
+    y_sq = jnp.sum(y**2, axis=-1)
+    inner = (mu_sq[None, :] - y_sq[:, None]) / (2.0 * new.sigma**2) + e.lgam - lpi[None, :]
+    inner = jnp.where(e.gam > 0, inner, 0.0)  # guard 0 * -inf
+    cfe_n = jnp.sum(e.gam * inner, axis=1) + log_norm_new
+    if cfg.use_outliers:
+        lpi0, lpit = log_ratio_to_proba(new.eta0)
+        log_j0 = -jnp.log(old.vol0)
+        gam0 = jnp.exp(e.lgam0)
+        cfe_local = jnp.sum(
+            mask
+            * (
+                e.gamt * (cfe_n + e.lgamt - lpit)
+                + gam0 * (-log_j0 + e.lgam0 - lpi0)
+            )
+        )
+    else:
+        cfe_local = jnp.sum(mask * cfe_n)
+    quad_local = jnp.sum(mask * e.gamt * jnp.sum((x - y) ** 2, axis=-1)) / (
+        2.0 * new.sigma**2
+    )
+    return y, cfe_local, quad_local
 
 
 def em_step(
@@ -127,6 +246,7 @@ def em_step(
     mask: Optional[jax.Array],
     cfg: GMMConfig,
     skip_m: bool = False,
+    axis_name: Optional[str] = None,
 ) -> EMStepOut:
     """One (E step, M step) alternation + EM values Y / Cfe / FE.
 
@@ -134,92 +254,36 @@ def em_step(
     the math; post-M values use the *updated* parameters as in the keops
     variant GMM.py:462-496).  ``skip_m=True`` computes values only
     (GMM.py:247: used to initialize targets without touching parameters).
+
+    With ``axis_name`` (inside ``shard_map``/``pmap``), ``x``/``mask`` are
+    the local shard and the M-step sufficient statistics and energy sums are
+    ``psum``-reduced across devices — the distributed EM of SURVEY §3.3.
+    Every device ends with identical parameters.
     """
-    n_pts, d = x.shape
     if mask is None:
-        mask = jnp.ones((n_pts,), x.dtype)
-    n_eff = jnp.sum(mask)
+        mask = jnp.ones((x.shape[0],), x.dtype)
+    d = x.shape[1]
 
-    dtype = x.dtype
-    d2 = jnp.sum((x[:, None, :] - state.mu[None, :, :]) ** 2, axis=-1)  # (N,C)
+    e = _e_step(state, x, mask, cfg)
 
-    ### E step (old parameters)
-    log_norm = _log_gauss_norm(state.sigma, d)
-    zw = jax.scipy.special.logsumexp(state.w)
-    t_nc = state.w[None, :] - zw - d2 / (2.0 * state.sigma**2) - log_norm
-    t_n = jax.scipy.special.logsumexp(t_nc, axis=1)  # total component score
-    lgam = t_nc - t_n[:, None]
-    gam = jnp.exp(lgam)
-
-    if cfg.use_outliers:
-        log_j0 = -jnp.log(state.vol0)
-        eta0_n = state.eta0 + log_j0 - t_n
-        lgam0_n, lgamt_n = log_ratio_to_proba(eta0_n)
-        gamt_n = jnp.exp(lgamt_n)   # 1 - outlier responsibility
-        gam0_n = jnp.exp(lgam0_n)
+    if skip_m:
+        new = state
     else:
-        gamt_n = jnp.ones((n_pts,), dtype)
+        stats = _m_stats(e, x, mask)
+        if axis_name is not None:
+            stats = jax.lax.psum(stats, axis_name)
+        # log-domain w as in the reference (w_c = log sum_n gamma): computed
+        # from the reduced linear-domain stat (C is tiny; overflow-safe since
+        # counts are O(N))
+        new = _apply_stats(state, stats, cfg, d)
 
-    # masked log-weights for n-sums in log domain
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
-    lmask = jnp.where(mask > 0, 0.0, neg_inf)
-
-    ### M step
-    new = state
-    if not skip_m:
-        if cfg.optimize_mu:
-            # mu_c = sum_n m gamma_nc x_n / sum_n m gamma_nc (GMM.py:286-287)
-            gm = gam * mask[:, None]
-            denom = jnp.sum(gm, axis=0)
-            mu = (gm.T @ x) / jnp.maximum(denom, 1e-30)[:, None]
-            new = new._replace(mu=mu)
-        if cfg.use_outliers and cfg.optimize_eta0:
-            s0 = jax.scipy.special.logsumexp(lgam0_n + lmask)
-            st = jax.scipy.special.logsumexp(lgamt_n + lmask)
-            new = new._replace(eta0=s0 - st)
-        if cfg.optimize_w:
-            # w_c = log sum_n m gamma_nc (GMM.py:292-293)
-            w = jax.scipy.special.logsumexp(lgam + lmask[:, None], axis=0)
-            new = new._replace(w=w)
-        if cfg.optimize_sigma:
-            nd_sigma2 = jnp.sum(gam * d2 * mask[:, None])
-            sigma = jnp.sqrt(nd_sigma2 / (d * n_eff))
-            if cfg.ensure_continuum:
-                intr = jnp.sqrt(jnp.mean(second_min_sqdist(new.mu)))
-                sigma = jnp.maximum(sigma, intr)
-            new = new._replace(sigma=sigma)
-
-    ### EM values with (possibly) updated parameters (GMM.py:462-496)
-    y = gam @ new.mu  # quadratic targets y_n = sum_c gamma_nc mu_c
-    lpi = new.w - jax.scipy.special.logsumexp(new.w)
-    log_norm_new = _log_gauss_norm(new.sigma, d)
-    # Cfe_n = sum_c gamma_nc [ (|mu_c|^2 - |y_n|^2)/2sig^2 + lgam_nc - lpi_c ]
-    #         + loggaussnorm                                    (GMM.py:305-314)
-    mu_sq = jnp.sum(new.mu**2, axis=-1)
-    y_sq = jnp.sum(y**2, axis=-1)
-    inner = (mu_sq[None, :] - y_sq[:, None]) / (2.0 * new.sigma**2) + lgam - lpi[None, :]
-    # gamma * lgam -> 0 when gamma == 0 (guard 0 * -inf)
-    inner = jnp.where(gam > 0, inner, 0.0)
-    cfe_n = jnp.sum(gam * inner, axis=1) + log_norm_new
-
-    if cfg.use_outliers:
-        lpi0, lpit = log_ratio_to_proba(new.eta0)
-        log_j0 = -jnp.log(state.vol0)
-        cfe = jnp.sum(
-            mask
-            * (
-                gamt_n * (cfe_n + lgamt_n - lpit)
-                + gam0_n * (-log_j0 + lgam0_n - lpi0)
-            )
-        )
-    else:
-        cfe = jnp.sum(mask * cfe_n)
-
-    quad = jnp.sum(mask * gamt_n * jnp.sum((x - y) ** 2, axis=-1)) / (
-        2.0 * new.sigma**2
+    y, cfe_local, quad_local = _em_values(new, state, e, x, mask, cfg)
+    if axis_name is not None:
+        cfe_local = jax.lax.psum(cfe_local, axis_name)
+        quad_local = jax.lax.psum(quad_local, axis_name)
+    return EMStepOut(
+        state=new, y=y, cfe=cfe_local, fe=cfe_local + quad_local, gamt=e.gamt
     )
-    fe = cfe + quad
-    return EMStepOut(state=new, y=y, cfe=cfe, fe=fe)
 
 
 class EMOptOut(NamedTuple):
@@ -228,6 +292,7 @@ class EMOptOut(NamedTuple):
     cfe: jax.Array
     fe: jax.Array
     n_iters: jax.Array
+    gamt: jax.Array
 
 
 def em_optimization(
@@ -244,20 +309,23 @@ def em_optimization(
         mask = jnp.ones((x.shape[0],), x.dtype)
 
     def cond(carry):
-        st, y, cfe, fe, last_fe, i = carry
+        st, y, cfe, fe, last_fe, gamt, i = carry
         not_converged = jnp.abs(fe - last_fe) >= tol * jnp.abs(last_fe)
         return jnp.logical_and(i < max_iterations, jnp.logical_or(i < 2, not_converged))
 
     def body(carry):
-        st, y, cfe, fe, last_fe, i = carry
+        st, y, cfe, fe, last_fe, gamt, i = carry
         out = em_step(st, x, mask, cfg)
-        return (out.state, out.y, out.cfe, out.fe, fe, i + 1)
+        return (out.state, out.y, out.cfe, out.fe, fe, out.gamt, i + 1)
 
     y0 = jnp.zeros_like(x)
     zero = jnp.asarray(0.0, x.dtype)
-    carry = (state, y0, zero, jnp.asarray(jnp.inf, x.dtype), zero, jnp.asarray(0))
-    st, y, cfe, fe, _, i = jax.lax.while_loop(cond, body, carry)
-    return EMOptOut(state=st, y=y, cfe=cfe, fe=fe, n_iters=i)
+    carry = (
+        state, y0, zero, jnp.asarray(jnp.inf, x.dtype), zero,
+        jnp.ones((x.shape[0],), x.dtype), jnp.asarray(0),
+    )
+    st, y, cfe, fe, _, gamt, i = jax.lax.while_loop(cond, body, carry)
+    return EMOptOut(state=st, y=y, cfe=cfe, fe=fe, n_iters=i, gamt=gamt)
 
 
 def fit(

@@ -30,7 +30,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from difficp_tpu.ops import reductions as red
+from difficp_tpu.ops import backend as red
+from difficp_tpu.ops import reductions as red_dense
 from difficp_tpu.ops.solvers import kpinv_solve, kridge_solve, svd_pow
 from difficp_tpu.utils.integrators import integrate
 from difficp_tpu.utils.lbfgs import lbfgs_optimize
@@ -206,7 +207,7 @@ def v2p(cfg: LDDMMConfig, q, v_target, rcond=1e-3, alpha=1e-4,
     ridge regularized, LDDMM.py:235-253)."""
     rhs = v_target
     if cfg.eta != 0.0:
-        rhs = rhs + cfg.eta * red.grad_kred(q, q, cfg.sigma, qmask)
+        rhs = rhs + cfg.eta * red_dense.grad_kred(q, q, cfg.sigma, qmask)
     if version == "pinv":
         return kpinv_solve(q, rhs, cfg.sigma, rcond=rcond, mask=qmask)
     elif version in ("ridge", "ridge_keops", "ridge_pytorch"):

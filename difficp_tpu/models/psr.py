@@ -53,20 +53,24 @@ def _gmm_opt(state, x, mask, cfg, max_iterations, tol, skip_m=False):
     if skip_m:
         out = gmm_mod.em_step(state, x_flat, m_flat, cfg, skip_m=True)
         n_iters = jnp.asarray(0)
-        st, y, cfe = out.state, out.y, out.cfe
+        st, y, cfe, gamt = out.state, out.y, out.cfe, out.gamt
     else:
         opt = gmm_mod.em_optimization(
             state, x_flat, m_flat, cfg, max_iterations=max_iterations, tol=tol
         )
-        st, y, cfe, n_iters = opt.state, opt.y, opt.cfe, opt.n_iters
-    return st, y.reshape(k, n, d), cfe, n_iters
+        st, y, cfe, n_iters, gamt = (
+            opt.state, opt.y, opt.cfe, opt.n_iters, opt.gamt
+        )
+    return st, y.reshape(k, n, d), cfe, n_iters, gamt.reshape(k, n)
 
 
 @partial(jax.jit, static_argnames=())
-def _quadloss(x1, y, mask, sig2):
-    """quadloss[k] = sum_n m (x1 - y)^2 / (2 sig2_n)  (PSR.py:217-222)."""
+def _quadloss(x1, y, w, sig2):
+    """quadloss[k] = sum_n w_n (x1 - y)^2 / (2 sig2_n), with w the padding
+    mask times the inlier responsibility gammaT (PSR.py:217-222; gammaT
+    weight from GMM.py:323 — see note in gmm.EMStepOut)."""
     return jnp.sum(
-        mask[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None]), axis=(-2, -1)
+        w[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None]), axis=(-2, -1)
     )
 
 
@@ -75,20 +79,21 @@ def _quadloss(x1, y, mask, sig2):
     static_argnames=("lcfg", "use_ext", "nmax", "coverage_check"),
 )
 def _reg_opt_lddmm(
-    lcfg, q0, a0, x0, y, sig2, qmask, xmask, nmax, tol, use_ext,
+    lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
     coverage_check, r_cover_warn=2.0,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
     Replaces the reference's per-frame loop + torch LBFGS (PSR.py:521-569).
+    ``ptw`` is the per-point inlier weight gammaT (ones without outliers).
     Returns new a0, warped points x1, per-frame (regloss, datal, nsteps,
     change) and per-frame uncovered point counts along the final shoot.
     """
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
         def dataloss(pts):
             return jnp.sum(
-                xmk[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
+                (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
             )
 
         res = lddmm_mod.optimize(
@@ -127,18 +132,18 @@ def _reg_opt_lddmm(
             uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
         return res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change, uncovered
 
-    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask)
+    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
-def _reg_opt_affine(acfg, x0, y, z, xmask):
+def _reg_opt_affine(acfg, x0, y, z, w, xmask):
     """All-frames closed-form affine fits (PSR.py:620-653)."""
 
-    def one(x0k, yk, zk, xmk):
-        fit = affine_mod.optimize(acfg, x0k, yk, zk, mask=xmk)
+    def one(x0k, yk, zk, wk, xmk):
+        fit = affine_mod.optimize(acfg, x0k, yk, zk, w=wk, mask=xmk)
         return fit.m, fit.t, fit.tx, fit.datal, fit.regl
 
-    return jax.vmap(one)(x0, y, z, xmask)
+    return jax.vmap(one)(x0, y, z, w, xmask)
 
 
 @partial(jax.jit, static_argnames=("lcfg", "version"))
@@ -204,6 +209,9 @@ class MultiPSR:
                 fmask = pf.mask.reshape(-1)
                 self.gmm[s] = gmm_mod.set_vol0(self.gmm[s], flat, fmask)
 
+        # per-point inlier weights gammaT (ones without outliers)
+        self.ptw = jnp.ones_like(self.xmask)
+
         # free-energy bookkeeping (PSR.py:114-127)
         self.Cfe = [0.0] * self.S
         self.regloss = np.zeros(self.K)
@@ -241,14 +249,15 @@ class MultiPSR:
 
     # ----- GMM updates ----------------------------------------------------
 
-    def _apply_gmm_outputs(self, s, state, y_s, cfe):
+    def _apply_gmm_outputs(self, s, state, y_s, cfe, gamt_s):
         self.gmm[s] = state
         lo, hi = self.slices[s]
         self.y = self.y.at[:, lo:hi].set(y_s)
+        self.ptw = self.ptw.at[:, lo:hi].set(gamt_s)
         self.Cfe[s] = float(cfe)
         pf = self.structs[s]
         ql = _quadloss(
-            self.struct_view(self.x1, s), y_s, pf.mask,
+            self.struct_view(self.x1, s), y_s, pf.mask * gamt_s,
             jnp.broadcast_to(state.sigma**2, (self.K, pf.nmax)),
         )
         self.quadloss[:, s] = np.asarray(ql)
@@ -258,22 +267,22 @@ class MultiPSR:
         (PSR.py:197-213)."""
         for s in range(self.S):
             pf = self.structs[s]
-            st, y_s, cfe, _ = _gmm_opt(
+            st, y_s, cfe, _, gamt_s = _gmm_opt(
                 self.gmm[s], self.struct_view(self.x1, s), pf.mask,
                 self.gmm_cfg[s], 1, 0.0, skip_m=True,
             )
-            self._apply_gmm_outputs(s, st, y_s, cfe)
+            self._apply_gmm_outputs(s, st, y_s, cfe, gamt_s)
         self.update_FE()
 
     def GMM_opt(self, max_iterations=100, tol=1e-5):
         """Partial optimization, GMM part (PSR.py:242-271)."""
         for s in range(self.S):
             pf = self.structs[s]
-            st, y_s, cfe, iters = _gmm_opt(
+            st, y_s, cfe, iters, gamt_s = _gmm_opt(
                 self.gmm[s], self.struct_view(self.x1, s), pf.mask,
                 self.gmm_cfg[s], max_iterations, tol,
             )
-            self._apply_gmm_outputs(s, st, y_s, cfe)
+            self._apply_gmm_outputs(s, st, y_s, cfe, gamt_s)
             msg = f"GMM optim (structure {s}) : {int(iters)} EM steps"
             if self.gmm_cfg[s].use_outliers:
                 p0 = 1.0 / (1.0 + math.exp(-float(self.gmm[s].eta0)))
@@ -296,9 +305,23 @@ class MultiPSR:
             if do_sigma and self.gmm_cfg[si].optimize_sigma:
                 g = g._replace(sigma=jnp.asarray(0.25 * pts.std(), jnp.float32))
             self.gmm[si] = g
+        # a re-initialization starts a fresh descent: reset the monotone-FE
+        # tracker so the (legitimate) jump is not flagged
+        self.FE = None
         self.update_GMM_targets()
 
     # ----- free energy ----------------------------------------------------
+
+    def _update_quadlosses(self):
+        """Recompute quadloss[k, s] between warped points and targets."""
+        for s in range(self.S):
+            pf = self.structs[s]
+            ql = _quadloss(
+                self.struct_view(self.x1, s), self.struct_view(self.y, s),
+                pf.mask * self.struct_view(self.ptw, s),
+                jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
+            )
+            self.quadloss[:, s] = np.asarray(ql)
 
     def update_FE(self, message=None):
         """F bookkeeping with monotonicity check (PSR.py:226-236)."""
@@ -402,21 +425,13 @@ class DiffPSR(MultiPSR):
         sig2 = self._sig2_vector()
         a0, x1, trajl, datal, nsteps, change, uncovered = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
-            self.x0, self.y, sig2, self.qmask, self.xmask,
+            self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
             nmax, tol, use_ext, True,
         )
         self.a0 = a0
         self.x1 = x1
         self.regloss = np.asarray(trajl, np.float64)
-
-        for s in range(self.S):
-            pf = self.structs[s]
-            ql = _quadloss(
-                self.struct_view(self.x1, s), self.struct_view(self.y, s),
-                pf.mask,
-                jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
-            )
-            self.quadloss[:, s] = np.asarray(ql)
+        self._update_quadlosses()
 
         unc = np.asarray(uncovered)
         if use_ext and unc.sum() > 0 and self.printstuff:
@@ -464,22 +479,16 @@ class AffinePSR(MultiPSR):
         self.update_GMM_targets()
 
     def Reg_opt(self, tol=1e-3, nmax=1):
-        # z_n = 1/(2 sigma_s^2) (PSR.py:630-633); w_n = 1 for real points
+        # z_n = gammaT_n / (2 sigma_s^2) (PSR.py:630-633, with the inlier
+        # weight of the outlier model); w_n = gammaT_n for the logdet term
         sig2 = self._sig2_vector()
-        z = 1.0 / (2.0 * sig2)
+        z = self.ptw / (2.0 * sig2)
         m, t, tx, datal, regl = _reg_opt_affine(
-            self.acfg, self.x0, self.y, z, self.xmask
+            self.acfg, self.x0, self.y, z, self.ptw, self.xmask
         )
         self.M, self.t, self.x1 = m, t, tx
         self.regloss = np.asarray(regl, np.float64)
-        for s in range(self.S):
-            pf = self.structs[s]
-            ql = _quadloss(
-                self.struct_view(self.x1, s), self.struct_view(self.y, s),
-                pf.mask,
-                jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
-            )
-            self.quadloss[:, s] = np.asarray(ql)
+        self._update_quadlosses()
         total = float(np.asarray(datal).sum() + np.asarray(regl).sum())
         self.update_FE(message=f"Affine Reg_opt ({self.K} frames) : loss={total:.4}")
 

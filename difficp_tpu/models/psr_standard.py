@@ -1,0 +1,480 @@
+"""'Standard' diffeomorphic point-set registration (Glaunès et al. 2004 /
+Deformetrica style): a deformable template warped to each data set under an
+RKHS measure-distance loss.
+
+Re-design of reference diffICP/core/PSR_standard.py:37-686 (MultiPSR_std /
+DiffPSR_std / AffinePSR_std and ``data_distance``):
+
+- ``data_distance``: RKHS distance of point clouds viewed as (weighted)
+  signed measures (PSR_standard.py:37-58).
+- Energy  E = sum_{k,s} dataloss[k,s] / noise_std[s]^2 + sum_k regloss[k],
+  monotone under the alternating Reg_opt / Template_opt
+  (PSR_standard.py:168-177, 311-316 — the oracle).
+- ``Reg_opt``: per-frame LDDMM optimization of momenta a0[k] — vmapped
+  lockstep across frames here (reference loops k at PSR_standard.py:514).
+- ``Template_opt``: L-BFGS over the template positions y0[s] (and optional
+  per-point weights w0[s], the experimental ``template_weights`` feature);
+  the gradient flows through all K shoots at once via ``jax.vmap`` +
+  ``jax.grad`` (reference accumulates a Python loop of K graphs,
+  PSR_standard.py:226-255).
+- When the template moves, the (dense) support points move with it and the
+  momenta are re-projected on the new RKHS span (PSR_standard.py:299-309).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difficp_tpu.models import affine as affine_mod
+from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
+from difficp_tpu.utils.io import pad_structures
+from difficp_tpu.utils.lbfgs import lbfgs_optimize
+from difficp_tpu.utils.point_sets import decimate, grid_support, intrinsic_scale
+
+
+def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None):
+    """RKHS distance between data x and (weighted) template y
+    (PSR_standard.py:37-58):
+
+        L = <fx, fx> + <fy, fy> - 2 <fy, fx>,   fx = 1/Nx sum_i K(., x_i),
+        fy = 1/Ny sum_j K(., y_j)  (or sum_j w_j K(., y_j) with weights).
+
+    Differentiable wrt y (and w).  Masked x/y points carry zero weight.
+    """
+    nx = jnp.sum(mask_x) if mask_x is not None else x.shape[0]
+    ny = jnp.sum(mask_y) if mask_y is not None else y.shape[0]
+
+    def ksum(a, b, wa, wb):
+        d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sigma**2))
+        return jnp.einsum("i,ij,j->", wa, k, wb)
+
+    wx = (mask_x if mask_x is not None else jnp.ones(x.shape[0], x.dtype)) / nx
+    if w is None:
+        wy = (mask_y if mask_y is not None else jnp.ones(y.shape[0], y.dtype)) / ny
+    else:
+        wy = w * mask_y if mask_y is not None else w
+    return ksum(x, x, wx, wx) + ksum(y, y, wy, wy) - 2.0 * ksum(y, x, wy, wx)
+
+
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax"))
+def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
+                 slices, use_ext, nmax, tol):
+    """All-frames LDDMM registration of the template onto each data set.
+
+    x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
+    template concat dimension per structure.  Returns new a0, warped
+    templates y1 (K, Ntot_y, D), regloss, datal, nsteps, change.
+    """
+
+    def one(a0k, xk, xmk):
+        def dataloss(pts):
+            l = jnp.zeros((), pts.dtype)
+            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+                l = l + data_distance(
+                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                    w=None if w0 is None else w0[ylo:yhi],
+                    mask_x=xmk[xlo:xhi],
+                ) / noise2[s]
+            return l
+
+        res = lddmm_mod.optimize(
+            lcfg, dataloss, q0, a0k,
+            ally0 if use_ext else None,
+            None, None, nmax=nmax, tol=tol,
+        )
+        y1k = res.final.x if use_ext else res.final.q
+        return res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change
+
+    return jax.vmap(one)(a0, x, xmask)
+
+
+class MultiPSRStd:
+    """Common machinery (reference MultiPSR_std, PSR_standard.py:67-316)."""
+
+    def __init__(self, x, y_template, noise_std, data_sigma,
+                 template_weights: bool = False):
+        self.printstuff = True
+        self.data_sigma = float(data_sigma)
+
+        # data (fixed): padded per structure
+        self.structs = pad_structures(x)
+        self.S = len(self.structs)
+        self.K = self.structs[0].k
+        self.D = self.structs[0].x.shape[2]
+
+        # template y0[s]: exact sizes (single copy; no padding needed)
+        if not isinstance(y_template, (list, tuple)):
+            y_template = [y_template] * self.S
+        self.y0 = [jnp.asarray(np.asarray(t, np.float32)) for t in y_template]
+        self.ny = [t.shape[0] for t in self.y0]
+
+        if not isinstance(noise_std, (list, tuple)):
+            noise_std = [noise_std] * self.S
+        self.noise_std = [float(v) for v in noise_std]
+
+        # x concat view (K, Ntot_x, D) and per-structure slices of both the
+        # template concat axis and data concat axis
+        self.x = jnp.concatenate([pf.x for pf in self.structs], axis=1)
+        self.xmask = jnp.concatenate([pf.mask for pf in self.structs], axis=1)
+        self.slices = []
+        yo = xo = 0
+        for s in range(self.S):
+            ys = self.ny[s]
+            xs = self.structs[s].nmax
+            self.slices.append((yo, yo + ys, xo, xo + xs))
+            yo += ys
+            xo += xs
+        self.ny_tot = yo
+
+        self.template_weights = template_weights
+        if template_weights:
+            self.w0 = [jnp.ones(n) / n for n in self.ny]
+        else:
+            self.w0 = [None] * self.S
+
+        # warped templates per frame (K, Ntot_y, D)
+        ally0 = jnp.concatenate(self.y0, axis=0)
+        self.y1 = jnp.broadcast_to(ally0[None], (self.K, self.ny_tot, self.D))
+
+        self.regloss = np.zeros(self.K)
+        self.dataloss = np.zeros((self.K, self.S))
+        self.E: Optional[float] = None
+        self.e_increase_events = 0
+
+    # ------------------------------------------------------------------
+
+    @property
+    def ally0(self):
+        return jnp.concatenate(self.y0, axis=0)
+
+    @property
+    def w0_cat(self):
+        if not self.template_weights:
+            return None
+        return jnp.concatenate(self.w0, axis=0)
+
+    def get_template(self, s=0):
+        return np.asarray(self.y0[s])
+
+    def get_warped_template(self, k=0, s=0):
+        ylo, yhi, _, _ = self.slices[s]
+        return np.asarray(self.y1[k, ylo:yhi])
+
+    def get_data_points(self, k=0, s=0):
+        return self.structs[s].unpad(k)
+
+    def _dataloss_ks(self, k, s):
+        ylo, yhi, xlo, xhi = self.slices[s]
+        return float(
+            data_distance(
+                self.x[k, xlo:xhi], self.y1[k, ylo:yhi], self.data_sigma,
+                w=self.w0[s], mask_x=self.xmask[k, xlo:xhi],
+            )
+        ) / self.noise_std[s] ** 2
+
+    def update_datalosses(self):
+        for k in range(self.K):
+            for s in range(self.S):
+                self.dataloss[k, s] = self._dataloss_ks(k, s)
+
+    def update_E(self, message=None):
+        e = float(self.regloss.sum()) + float(self.dataloss.sum())
+        if self.printstuff and message is not None:
+            print(message.ljust(70) + f"Total energy = {e:.8}")
+        if self.E is not None and e > self.E + 1e-4 * abs(self.E) + 1e-6:
+            self.e_increase_events += 1
+            print("WARNING: measured increase in optimization energy ! Should not happen.")
+        self.E = e
+
+    def Reg_opt(self, nmax=10, tol=1e-3):
+        raise NotImplementedError
+
+    def Template_opt(self, nmax=10, tol=1e-3):
+        raise NotImplementedError
+
+
+class DiffPSRStd(MultiPSRStd):
+    """Standard algorithm with LDDMM registrations
+    (reference DiffPSR_std, PSR_standard.py:364-564)."""
+
+    def __init__(self, x, y_template, noise_std, lcfg: lddmm_mod.LDDMMConfig,
+                 data_sigma, template_weights: bool = False):
+        super().__init__(x, y_template, noise_std, data_sigma, template_weights)
+        self.lcfg = lcfg
+        self.support_scheme = None
+        self.rho = None
+        self.q0 = self.ally0
+        self.a0 = jnp.zeros((self.K,) + self.q0.shape)
+        self.initialize_a0()
+        self.update_datalosses()
+        self.update_E()
+
+    # ----- momenta (PSR_standard.py:422-440) ---------------------------
+
+    def initialize_a0(self, rcond=1e-3):
+        p = lddmm_mod.v2p(self.lcfg, self.q0, jnp.zeros_like(self.q0), rcond=rcond)
+        self.a0 = jnp.broadcast_to(p[None], (self.K,) + p.shape)
+
+    def update_a0(self, q0_prev, a0_prev=None, rcond=1e-2):
+        if a0_prev is None:
+            a0_prev = self.a0
+
+        def one(a0k):
+            v_new = lddmm_mod.v(self.lcfg, self.q0, q0_prev, a0k)
+            return lddmm_mod.v2p(self.lcfg, self.q0, v_new, rcond=rcond)
+
+        self.a0 = jax.vmap(one)(a0_prev)
+
+    def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
+                           yticks=None, q0=None):
+        """Support points from decimated template / grid / custom
+        (PSR_standard.py:445-502)."""
+        self.rho = rho
+        r_cover = rho * self.lcfg.sigma
+        q0_prev = self.q0
+        self.support_scheme = scheme
+        if scheme == "decim":
+            pts = []
+            for s in range(self.S):
+                ys = np.asarray(self.y0[s])
+                kept, _ = decimate(ys, r_cover)
+                pts.append(ys[kept])
+            self.q0 = jnp.asarray(np.concatenate(pts, axis=0))
+            if self.printstuff:
+                print(f"Decimation : {self.q0.shape[0]} support points")
+        elif scheme == "grid":
+            ticks = None
+            if xticks is not None and yticks is not None:
+                ticks = [np.asarray(xticks), np.asarray(yticks)]
+            pts = grid_support(np.asarray(self.ally0), r_cover, ticks=ticks)
+            self.q0 = jnp.asarray(pts)
+        elif scheme == "custom":
+            assert q0 is not None
+            self.q0 = jnp.asarray(np.asarray(q0, np.float32))
+        else:
+            raise ValueError(f"Unknown support scheme: {scheme}")
+        self.update_a0(q0_prev, rcond=1e-2)
+
+    # ----- partial optimizations ---------------------------------------
+
+    def Reg_opt(self, nmax=10, tol=1e-3):
+        use_ext = self.support_scheme is not None
+        noise2 = tuple(v**2 for v in self.noise_std)
+        a0, y1, regl, datal, nsteps, change = _reg_opt_std(
+            self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
+            jnp.asarray(noise2), self.data_sigma, self.w0_cat,
+            tuple(self.slices), use_ext, nmax, tol,
+        )
+        self.a0 = a0
+        self.y1 = y1
+        self.regloss = np.asarray(regl, np.float64)
+        self.update_datalosses()
+        self.update_E(
+            message=f"Reg_opt ({self.K} frames in lockstep) : "
+            f"loss={float(np.asarray(regl).sum() + np.asarray(datal).sum()):.4}"
+        )
+
+    def Template_opt(self, nmax=10, tol=1e-3):
+        """L-BFGS over template positions (and weights); gradient through all
+        K shoots (PSR_standard.py:226-255)."""
+        use_ext = True  # template points are always advected as externals here
+        for s in range(self.S):
+            ylo, yhi, xlo, xhi = self.slices[s]
+            noise2 = self.noise_std[s] ** 2
+            q0, a0 = self.q0, self.a0
+            x_s = self.x[:, xlo:xhi]
+            xm_s = self.xmask[:, xlo:xhi]
+
+            def loss_of(y0s, ws):
+                def per_frame(a0k, xk, xmk):
+                    final, _ = lddmm_mod.shoot(self.lcfg, q0, a0k, y0s)
+                    return data_distance(
+                        xk, final.x, self.data_sigma, w=ws, mask_x=xmk
+                    )
+                return jnp.sum(jax.vmap(per_frame)(a0, x_s, xm_s)) / noise2
+
+            if self.template_weights:
+                res = lbfgs_optimize(
+                    lambda p: loss_of(p[0], p[1]), (self.y0[s], self.w0[s]),
+                    nmax=nmax, tol=tol,
+                )
+                self.y0[s], self.w0[s] = res.params
+            else:
+                res = lbfgs_optimize(
+                    lambda y: loss_of(y, None), self.y0[s], nmax=nmax, tol=tol
+                )
+                self.y0[s] = res.params
+
+            self.update_state_after_template(s)
+            if self.printstuff:
+                print(
+                    f"Template {s} : {int(res.n_steps)} optim steps, "
+                    f"loss={float(res.loss):.4}".ljust(70)
+                    + f"Total energy = {self.E if self.E is not None else 0:.8}"
+                )
+
+    def update_state_after_template(self, s):
+        """Dependency refresh when the template (= dense support) moved
+        (PSR_standard.py:269-316)."""
+        q0_prev = self.q0
+        if self.support_scheme is None:
+            self.q0 = self.ally0
+            self.update_a0(q0_prev, rcond=1e-1)
+        elif self.support_scheme == "decim":
+            self.set_support_scheme("decim", self.rho)
+        # recompute warped templates with the new template/support
+        use_ext = self.support_scheme is not None
+
+        def one(a0k):
+            final, _ = lddmm_mod.shoot(
+                self.lcfg, self.q0, a0k, self.ally0 if use_ext else None
+            )
+            return final.x if use_ext else final.q
+
+        self.y1 = jax.vmap(one)(self.a0)
+        # regloss changes through the re-projection too
+        def rl(a0k):
+            final, _ = lddmm_mod.shoot(self.lcfg, self.q0, a0k)
+            return lddmm_mod.trajloss(self.lcfg, self.q0, a0k, final.cost)
+
+        self.regloss = np.asarray(jax.vmap(rl)(self.a0), np.float64)
+        self.update_datalosses()
+        self.update_E()
+
+    def Registration(self, k=0) -> LDDMMRegistration:
+        return LDDMMRegistration(cfg=self.lcfg, q0=self.q0, a0=self.a0[k])
+
+
+class AffinePSRStd(MultiPSRStd):
+    """Standard algorithm with affine registrations — iterative fits, no
+    closed form for the RKHS loss (reference AffinePSR_std,
+    PSR_standard.py:573-686)."""
+
+    def __init__(self, x, y_template, noise_std, acfg: affine_mod.AffineConfig,
+                 data_sigma, template_weights: bool = False):
+        super().__init__(x, y_template, noise_std, data_sigma, template_weights)
+        self.acfg = acfg
+        self.M = jnp.broadcast_to(
+            jnp.eye(self.D, dtype=jnp.float32)[None], (self.K, self.D, self.D)
+        )
+        # init translation: match centers of mass (PSR_standard.py:623)
+        xm = jnp.sum(self.x * self.xmask[..., None], axis=1) / jnp.sum(
+            self.xmask, axis=1
+        )[:, None]
+        self.t = xm - jnp.mean(self.ally0, axis=0)[None, :]
+        self._apply_current()
+        self.update_datalosses()
+        self.update_E()
+
+    def _apply_current(self):
+        self.y1 = jax.vmap(lambda m, t: affine_mod.apply(m, t, self.ally0))(
+            self.M, self.t
+        )
+
+    def Reg_opt(self, nmax=10, tol=1e-5):
+        ally0 = self.ally0
+        noise2 = jnp.asarray([v**2 for v in self.noise_std])
+        slices = tuple(self.slices)
+        w0c = self.w0_cat
+        data_sigma = self.data_sigma
+        version = self.acfg.version
+
+        def frame_loss(m, t, xk, xmk):
+            pts = affine_mod.apply(m, t, ally0)
+            l = jnp.zeros((), pts.dtype)
+            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+                l = l + data_distance(
+                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                    w=None if w0c is None else w0c[ylo:yhi],
+                    mask_x=xmk[xlo:xhi],
+                ) / noise2[s]
+            return l
+
+        def optimize_frame(m0, t0, xk, xmk):
+            if version == "general_affine":
+                res = lbfgs_optimize(
+                    lambda p: frame_loss(p[0], p[1], xk, xmk), (m0, t0),
+                    nmax=nmax, tol=tol,
+                )
+                m1, t1 = res.params
+            elif version in ("rigid", "similarity"):
+                # skew-log parametrization M = s * expm((A - A^T)/2)
+                a0 = jnp.zeros_like(m0)
+                if version == "rigid":
+                    res = lbfgs_optimize(
+                        lambda p: frame_loss(
+                            jax.scipy.linalg.expm((p[0] - p[0].T) / 2), p[1],
+                            xk, xmk,
+                        ),
+                        (a0, t0), nmax=nmax, tol=tol,
+                    )
+                    aa, t1 = res.params
+                    m1 = jax.scipy.linalg.expm((aa - aa.T) / 2)
+                else:
+                    res = lbfgs_optimize(
+                        lambda p: frame_loss(
+                            p[2] * jax.scipy.linalg.expm((p[0] - p[0].T) / 2),
+                            p[1], xk, xmk,
+                        ),
+                        (a0, t0, jnp.ones(())), nmax=nmax, tol=tol,
+                    )
+                    aa, t1, sc = res.params
+                    m1 = sc * jax.scipy.linalg.expm((aa - aa.T) / 2)
+            else:
+                raise NotImplementedError(version)
+            return m1, t1, res.loss, res.n_steps
+
+        m, t, losses, nsteps = jax.vmap(optimize_frame)(
+            self.M, self.t, self.x, self.xmask
+        )
+        self.M, self.t = m, t
+        self._apply_current()
+        self.update_datalosses()
+        self.update_E(
+            message=f"Affine Reg_opt ({self.K} frames) : "
+            f"loss={float(jnp.sum(losses)):.4}"
+        )
+
+    def Template_opt(self, nmax=10, tol=1e-3):
+        for s in range(self.S):
+            ylo, yhi, xlo, xhi = self.slices[s]
+            noise2 = self.noise_std[s] ** 2
+            x_s = self.x[:, xlo:xhi]
+            xm_s = self.xmask[:, xlo:xhi]
+            m_all, t_all = self.M, self.t
+
+            def loss_of(y0s, ws):
+                def per_frame(m, t, xk, xmk):
+                    pts = affine_mod.apply(m, t, y0s)
+                    return data_distance(
+                        xk, pts, self.data_sigma, w=ws, mask_x=xmk
+                    )
+                return jnp.sum(jax.vmap(per_frame)(m_all, t_all, x_s, xm_s)) / noise2
+
+            if self.template_weights:
+                res = lbfgs_optimize(
+                    lambda p: loss_of(p[0], p[1]), (self.y0[s], self.w0[s]),
+                    nmax=nmax, tol=tol,
+                )
+                self.y0[s], self.w0[s] = res.params
+            else:
+                res = lbfgs_optimize(
+                    lambda y: loss_of(y, None), self.y0[s], nmax=nmax, tol=tol
+                )
+                self.y0[s] = res.params
+        self._apply_current()
+        self.update_datalosses()
+        self.update_E()
+
+    def Registration(self, k=0) -> AffineRegistration:
+        return AffineRegistration(cfg=self.acfg, m=self.M[k], t=self.t[k])

@@ -1,0 +1,158 @@
+"""Blockwise (tiled) Gaussian pairwise reductions for large point sets.
+
+Same signatures/semantics as ``difficp_tpu.ops.reductions`` but the (M, N)
+kernel matrix is never materialized: a ``lax.scan`` streams j-tiles and
+accumulates per-i outputs — the role KeOps' tiled CUDA reductions play in the
+reference (kernel.py:99-104: dense "crash[es] on large datasets").
+Fully differentiable (gradients stream the same tiles).
+
+The Pallas backend (``pallas_reductions``) implements the same contract with
+explicit VMEM control; this module is the portable fallback and the
+correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_to(x, n, axis=0):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+def _tiles(n, tile):
+    return -(-n // tile)
+
+
+@partial(jax.checkpoint, static_argnums=(4, 5, 6))
+def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
+    """Fused self-RHS accumulated over j-tiles.
+
+    maskj: (M,) column mask (already includes padding); row outputs for all M.
+    """
+    m, d = q.shape
+    nt = _tiles(m, tile)
+    mpad = nt * tile
+    qj = _pad_to(q, mpad).reshape(nt, tile, d)
+    pj = _pad_to(p, mpad).reshape(nt, tile, d)
+    mj = _pad_to(maskj, mpad).reshape(nt, tile)
+
+    sig2 = sigma**2
+
+    def body(acc, tile_in):
+        vq, gq, dcost = acc
+        qjt, pjt, mjt = tile_in
+        diff = q[:, None, :] - qjt[None, :, :]        # (M, T, D)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        vq = vq + k @ pjt
+        dots = p @ pjt.T                               # (M, T)
+        gq = gq + jnp.einsum("mt,mtd->md", k * dots, -diff) / sig2
+        if eta != 0.0:
+            vq = vq - eta * (jnp.einsum("mt,mtd->md", k, -diff) / sig2)
+            cb = p[:, None, :] - pjt[None, :, :]
+            proj = jnp.sum(diff * cb, axis=-1)
+            hess = jnp.einsum(
+                "mt,mtd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2
+            )
+            coef = k * (d2 / sigma**6 - (d + 2) / sigma**4)
+            glap = jnp.einsum("mt,mtd->md", coef, -diff)
+            gq = gq - eta * hess - eta**2 * glap
+        if withlogdet:
+            km = k * maskj[:, None]
+            dc = jnp.einsum("mt,mtd,md->", km, -diff, p) / sig2
+            if eta != 0.0:
+                dc = dc + eta * jnp.sum(km * (d2 / sigma**4 - d / sigma**2))
+            dcost = dcost + dc
+        return (vq, gq, dcost), None
+
+    acc0 = (
+        jnp.zeros((m, d), q.dtype),
+        jnp.zeros((m, d), q.dtype),
+        jnp.zeros((), q.dtype),
+    )
+    (vq, gq, dcost), _ = jax.lax.scan(body, acc0, (qj, pj, mj))
+    return vq, gq, dcost
+
+
+def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None, tile=1024):
+    """Blockwise version of reductions.lddmm_rhs_self."""
+    m = q.shape[0]
+    maskj = mask_q if mask_q is not None else jnp.ones((m,), q.dtype)
+    vq, gq, dcost = _rhs_self_blockwise(
+        q, p, maskj, sigma, eta, withlogdet, tile
+    )
+    if mask_q is not None:
+        vq = vq * mask_q[:, None]
+        gq = gq * mask_q[:, None]
+    return vq, -gq, dcost
+
+
+@partial(jax.checkpoint, static_argnums=(6, 7, 8))
+def _rhs_ext_blockwise(x, q, p, maskq, maskx, sigma, eta, withlogdet,
+                       tile=1024):
+    """v at external x plus logdet cost at x, streamed over x-tiles for the
+    cost and q already small enough; here we stream over q-tiles for vx."""
+    nx, d = x.shape
+    m = q.shape[0]
+    nt = _tiles(m, tile)
+    mpad = nt * tile
+    qj = _pad_to(q, mpad).reshape(nt, tile, d)
+    pj = _pad_to(p, mpad).reshape(nt, tile, d)
+    mj = _pad_to(maskq, mpad).reshape(nt, tile)
+    sig2 = sigma**2
+
+    def body(acc, tile_in):
+        vx, dcost = acc
+        qjt, pjt, mjt = tile_in
+        diff = x[:, None, :] - qjt[None, :, :]  # (Nx, T, D)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        vx = vx + k @ pjt
+        if eta != 0.0:
+            vx = vx - eta * (jnp.einsum("nt,ntd->nd", k, -diff) / sig2)
+        if withlogdet:
+            km = k * maskx[:, None]
+            dc = -jnp.einsum("nt,ntd,td->", km, -diff, pjt) / sig2
+            if eta != 0.0:
+                dc = dc + eta * jnp.sum(km * (d2 / sigma**4 - d / sigma**2))
+            dcost = dcost + dc
+        return (vx, dcost), None
+
+    acc0 = (jnp.zeros((nx, d), x.dtype), jnp.zeros((), x.dtype))
+    (vx, dcost), _ = jax.lax.scan(body, acc0, (qj, pj, mj))
+    return vx, dcost
+
+
+def lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q=None, mask_x=None,
+                  tile=1024):
+    """Blockwise version of reductions.lddmm_rhs_ext."""
+    vq, mgq, _ = lddmm_rhs_self(q, p, sigma, eta, False, mask_q, tile)
+    maskq = mask_q if mask_q is not None else jnp.ones((q.shape[0],), q.dtype)
+    maskx = mask_x if mask_x is not None else jnp.ones((x.shape[0],), x.dtype)
+    vx, dcost = _rhs_ext_blockwise(
+        x, q, p, maskq, maskx, sigma, eta, withlogdet, tile
+    )
+    if not withlogdet:
+        dcost = jnp.zeros((), q.dtype)
+    if mask_x is not None:
+        vx = vx * mask_x[:, None]
+    return vq, mgq, dcost, vx
+
+
+def v_field(x, q, p, sigma, eta, mask_q=None, tile=1024):
+    vx, _ = _rhs_ext_blockwise(
+        x, q, p,
+        mask_q if mask_q is not None else jnp.ones((q.shape[0],), q.dtype),
+        jnp.ones((x.shape[0],), x.dtype),
+        sigma, eta, False, tile,
+    )
+    return vx

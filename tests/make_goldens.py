@@ -282,6 +282,59 @@ def golden_basic():
     print("basic_run.npz written, final FE:", fes[-1])
 
 
+def golden_multi():
+    """Reference diffICP_multi equivalent: K=10 spirals, C=20 GMM inferred,
+    LDDMM hybrid, lambda=5e2, sigma=0.2 (examples/diffICP_multi.py:58-99).
+    Records final FE and GMM parameters — the atlas e2e golden."""
+    from diffICP.core.LDDMM import LDDMMModel
+    from diffICP.core.PSR import DiffPSR
+    from diffICP.core.GMM import GaussianMixtureUnif
+    from diffICP.tools.kernel import GaussKernel
+
+    def _check_coverage(self, X, Y, Rthreshold):
+        return ((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1).min(dim=1).values > (
+            Rthreshold * self.sigma
+        ) ** 2
+
+    GaussKernel.check_coverage = _check_coverage
+
+    spiral = np.load(os.path.join(OUT, "spiral.npz"))
+    x0 = [torch.tensor(spiral[f"x{k}"]) for k in range(10)]
+
+    # GMM with C=20 components initialized from point set 0 (ICP_atlas
+    # 'init from set' mode), weights optimized, sigma optimized
+    torch.random.manual_seed(0)
+    C = 20
+    mu_init = x0[0][torch.randint(0, x0[0].shape[0], (C,)), :]
+    gmm = GaussianMixtureUnif(mu_init, computversion="torch")
+    gmm.to_optimize = {"mu": True, "sigma": True, "w": True, "eta0": False}
+
+    lm = LDDMMModel(sigma=0.2, D=2, lambd=5e2, version="hybrid",
+                    computversion="torch", scheme="Euler", nt=10)
+    psr = DiffPSR(x0, gmm, lm)
+    psr.set_support_scheme("grid", rho=1.0)
+    psr.printstuff = False
+    fes = []
+    for it in range(15):
+        psr.GMM_opt(max_iterations=25, tol=1e-3)
+        psr.Reg_opt(tol=1e-3, nmax=10)
+        fes.append(psr.FE)
+        print("iter", it, "FE", psr.FE, flush=True)
+    res = {
+        "mu_init": t2n(mu_init),
+        "FE_seq": np.asarray(fes, np.float64),
+        "final_mu": t2n(psr.GMMi[0].mu),
+        "final_sigma": np.float32(psr.GMMi[0].sigma),
+        "final_w": t2n(psr.GMMi[0].w),
+        "regloss": np.asarray([float(r) for r in psr.regloss], np.float64),
+        "quadloss": t2n(psr.quadloss),
+    }
+    for k in range(10):
+        res[f"x1_{k}"] = t2n(psr.x1[k, 0])
+    np.savez(os.path.join(OUT, "multi_run.npz"), **res)
+    print("multi_run.npz written, final FE:", fes[-1])
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "gmm"):
@@ -294,3 +347,5 @@ if __name__ == "__main__":
         golden_spiral()
     if which in ("all", "basic"):
         golden_basic()
+    if which in ("all", "multi"):
+        golden_multi()

@@ -1,0 +1,112 @@
+"""Sharding-equivalence tests on the virtual 8-device CPU mesh:
+frame-sharded EM and the fused atlas train step must match the
+single-device computation (SURVEY §4.6)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difficp_tpu.models import gmm as gmm_mod
+from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.parallel.atlas import (
+    em_step_frames_sharded,
+    make_atlas_train_step,
+    make_mesh,
+    shard_psr,
+)
+from difficp_tpu.utils.io import pad_frames
+
+HERE = os.path.dirname(__file__)
+SPIRAL = np.load(os.path.join(HERE, "goldens", "spiral.npz"))
+
+K = 8
+FRAMES = pad_frames([SPIRAL[f"x{k}"] for k in range(8)])
+
+
+def make_gmm():
+    state = gmm_mod.GMMState(
+        mu=jnp.asarray(SPIRAL["mu0"]) + 0.01,
+        w=jnp.zeros(20),
+        sigma=jnp.asarray(0.1),
+        eta0=jnp.asarray(0.0),
+        vol0=jnp.asarray(0.0),
+    )
+    return state, gmm_mod.GMMConfig()
+
+
+def test_sharded_em_matches_single_device():
+    state, cfg = make_gmm()
+    mesh = make_mesh(8)
+
+    st_sh, y_sh, cfe_sh, fe_sh = em_step_frames_sharded(
+        state, FRAMES.x, FRAMES.mask, cfg, mesh
+    )
+
+    k, n, d = FRAMES.x.shape
+    out = gmm_mod.em_step(
+        state, FRAMES.x.reshape(k * n, d), FRAMES.mask.reshape(k * n), cfg
+    )
+    np.testing.assert_allclose(st_sh.mu, out.state.mu, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(st_sh.sigma), float(out.state.sigma), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_sh).reshape(k * n, d), out.y, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(fe_sh), float(out.fe), rtol=1e-4)
+
+
+def test_atlas_train_step_sharded_matches_unsharded():
+    state, gcfg = make_gmm()
+    lcfg = lddmm_mod.make_config(sigma=0.2, lambd=500.0, version="hybrid",
+                                 nt=5, scheme="Euler")
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+
+    q0 = FRAMES.x  # dense support = data points; use_ext=False
+    a0 = jnp.zeros_like(q0)
+    step8 = make_atlas_train_step(gcfg, lcfg, mesh8, em_iters=3, reg_nmax=1,
+                                  use_ext=False)
+    step1 = make_atlas_train_step(gcfg, lcfg, mesh1, em_iters=3, reg_nmax=1,
+                                  use_ext=False)
+
+    out8 = step8(state, q0, a0, FRAMES.x, FRAMES.x, FRAMES.mask, FRAMES.mask)
+    out1 = step1(state, q0, a0, FRAMES.x, FRAMES.x, FRAMES.mask, FRAMES.mask)
+
+    np.testing.assert_allclose(out8.gmm.mu, out1.gmm.mu, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(out8.gmm.sigma), float(out1.gmm.sigma), rtol=1e-5
+    )
+    # L-BFGS line searches amplify cross-device reduction-order noise;
+    # warped points agree to optimizer tolerance, energies tightly
+    np.testing.assert_allclose(out8.x1, out1.x1, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(float(out8.fe), float(out1.fe), rtol=2e-3)
+
+
+def test_shard_psr_runs_and_matches():
+    """DiffPSR with sharded per-frame arrays produces the same FE as
+    unsharded (jit auto-partitioner path)."""
+    from difficp_tpu.models.psr import DiffPSR
+
+    state, gcfg = make_gmm()
+    lcfg = lddmm_mod.make_config(sigma=0.2, lambd=500.0, version="hybrid",
+                                 nt=5, scheme="Euler")
+    x = [SPIRAL[f"x{k}"] for k in range(8)]
+
+    psr_a = DiffPSR(x, state, gcfg, lcfg)
+    psr_a.printstuff = False
+    psr_b = DiffPSR(x, state, gcfg, lcfg)
+    psr_b.printstuff = False
+    shard_psr(psr_b, make_mesh(8))
+
+    for psr in (psr_a, psr_b):
+        psr.GMM_opt(max_iterations=5, tol=1e-4)
+        psr.Reg_opt(tol=1e-3, nmax=1)
+
+    assert abs(psr_a.FE - psr_b.FE) < 1e-3 * abs(psr_a.FE)
+    np.testing.assert_allclose(
+        np.asarray(psr_b.a0), np.asarray(psr_a.a0), rtol=5e-2, atol=5e-3
+    )
