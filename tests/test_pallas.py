@@ -1,0 +1,70 @@
+"""Pallas fused-RHS kernel parity vs dense/blockwise backends (interpret
+mode on CPU; compiled on TPU), values and custom-VJP gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difficp_tpu.ops import reductions as R
+from difficp_tpu.ops.pallas_reductions import make_rhs_self
+
+rng = np.random.default_rng(0)
+M, D = 300, 2
+Q = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
+P = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32) * 0.3)
+MASK = jnp.asarray((rng.uniform(size=M) > 0.2).astype(np.float32))
+SIG = 0.6
+
+
+@pytest.mark.parametrize("withlogdet", [False, True])
+def test_pallas_rhs_matches_dense(withlogdet):
+    op = make_rhs_self(SIG, 0.0, withlogdet, ti=64, tj=64)
+    vq, mgq, dc = op(Q, P, MASK)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, 0.0, withlogdet, MASK)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_rhs_3d():
+    q3 = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+    p3 = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+    m3 = jnp.ones(100, jnp.float32)
+    op = make_rhs_self(SIG, 0.0, True, ti=32, tj=32)
+    vq, mgq, dc = op(q3, p3, m3)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(q3, p3, SIG, 0.0, True, m3)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_custom_vjp_matches_dense_grad():
+    op = make_rhs_self(SIG, 0.0, True, ti=64, tj=64)
+
+    def loss_p(fn):
+        def f(q, p):
+            vq, mgq, dc = fn(q, p, MASK)
+            return jnp.sum(vq**2) + jnp.sum(mgq * vq) + 2.0 * dc
+        return f
+
+    g_pallas = jax.grad(loss_p(op), argnums=(0, 1))(Q, P)
+    g_dense = jax.grad(
+        loss_p(lambda q, p, m: R.lddmm_rhs_self(q, p, SIG, 0.0, True, m)),
+        argnums=(0, 1),
+    )(Q, P)
+    for a, b in zip(g_pallas, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_pallas_eta_fallback():
+    op = make_rhs_self(SIG, 0.25, True)
+    vq, mgq, dc = op(Q, P, MASK)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, 0.25, True, MASK)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4,
+                               atol=1e-5)
