@@ -53,22 +53,22 @@ def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
         diff = q[:, None, :] - qjt[None, :, :]        # (M, T, D)
         d2 = jnp.sum(diff * diff, axis=-1)
         k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
-        vq = vq + k @ pjt
-        dots = p @ pjt.T                               # (M, T)
-        gq = gq + jnp.einsum("mt,mtd->md", k * dots, -diff) / sig2
+        vq = vq + jnp.matmul(k, pjt, precision="highest")
+        dots = jnp.matmul(p, pjt.T, precision="highest")                               # (M, T)
+        gq = gq + jnp.einsum("mt,mtd->md", k * dots, -diff, precision="highest") / sig2
         if eta != 0.0:
-            vq = vq - eta * (jnp.einsum("mt,mtd->md", k, -diff) / sig2)
+            vq = vq - eta * (jnp.einsum("mt,mtd->md", k, -diff, precision="highest") / sig2)
             cb = p[:, None, :] - pjt[None, :, :]
             proj = jnp.sum(diff * cb, axis=-1)
             hess = jnp.einsum(
                 "mt,mtd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2
             )
             coef = k * (d2 / sigma**6 - (d + 2) / sigma**4)
-            glap = jnp.einsum("mt,mtd->md", coef, -diff)
+            glap = jnp.einsum("mt,mtd->md", coef, -diff, precision="highest")
             gq = gq - eta * hess - eta**2 * glap
         if withlogdet:
             km = k * maskj[:, None]
-            dc = jnp.einsum("mt,mtd,md->", km, -diff, p) / sig2
+            dc = jnp.einsum("mt,mtd,md->", km, -diff, p, precision="highest") / sig2
             if eta != 0.0:
                 dc = dc + eta * jnp.sum(km * (d2 / sigma**4 - d / sigma**2))
             dcost = dcost + dc
@@ -116,12 +116,12 @@ def _rhs_ext_blockwise(x, q, p, maskq, maskx, sigma, eta, withlogdet,
         diff = x[:, None, :] - qjt[None, :, :]  # (Nx, T, D)
         d2 = jnp.sum(diff * diff, axis=-1)
         k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
-        vx = vx + k @ pjt
+        vx = vx + jnp.matmul(k, pjt, precision="highest")
         if eta != 0.0:
-            vx = vx - eta * (jnp.einsum("nt,ntd->nd", k, -diff) / sig2)
+            vx = vx - eta * (jnp.einsum("nt,ntd->nd", k, -diff, precision="highest") / sig2)
         if withlogdet:
             km = k * maskx[:, None]
-            dc = -jnp.einsum("nt,ntd,td->", km, -diff, pjt) / sig2
+            dc = -jnp.einsum("nt,ntd,td->", km, -diff, pjt, precision="highest") / sig2
             if eta != 0.0:
                 dc = dc + eta * jnp.sum(km * (d2 / sigma**4 - d / sigma**2))
             dcost = dcost + dc

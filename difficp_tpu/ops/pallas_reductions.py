@@ -89,23 +89,23 @@ def _rhs_self_kernel(qi_ref, pi_ref, mi_ref, q_ref, p_ref, m_ref,
                 - jnp.sum(kd * diffs[dd], axis=1, keepdims=True) * inv_sig2
             )
         if withlogdet:
-            # dcost partial: sum_i m_i sum_j p_i . gradK(q_i - q_j)
+            # per-row dcost partial: m_i sum_j p_i . gradK(q_i - q_j)
             proj = pi[0] * diffs[0]
             for dd in range(1, d):
                 proj = proj + pi[dd] * diffs[dd]
-            dc = dc - jnp.sum(mi * k * proj) * inv_sig2
+            dc = dc - jnp.sum(mi * k * proj, axis=1, keepdims=True) * inv_sig2
         return (new_vq, new_gq, dc)
 
     acc0 = (
         [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
         [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
-        jnp.zeros((), jnp.float32),
+        jnp.zeros((ti, 1), jnp.float32),
     )
     vq, gq, dc = jax.lax.fori_loop(0, n_j, body, acc0)
     for dd in range(d):
         vq_ref[:, dd] = (vq[dd] * mi)[:, 0]
         gq_ref[:, dd] = (gq[dd] * mi)[:, 0]
-    dc_ref[0, 0] = dc
+    dc_ref[:, 0] = dc[:, 0]
 
 
 def _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
@@ -136,12 +136,12 @@ def _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
         out_specs=[
             pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mpad, d), jnp.float32),
             jax.ShapeDtypeStruct((mpad, d), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mpad, 1), jnp.float32),
         ],
         interpret=_interpret(),
     )(qp, pp, mk, qp, pp, mk)

@@ -60,21 +60,21 @@ def kbase(x, y, sigma, mask_y=None):
 def kred_scal(x, y, d, sigma, mask_y=None):
     """X(i) = sum_j K(x_i - y_j) d_j, scalar payload d (N,).  (kernel.py:134,182)"""
     _, _, k = _kmat(x, y, sigma, mask_y)
-    return k @ d
+    return jnp.matmul(k, d, precision="highest")
 
 
 def kred(x, y, b, sigma, mask_y=None):
     """X(i,:) = sum_j K(x_i - y_j) b_j — the kernel-sum convolution.
     (kernel.py:138,186)"""
     _, _, k = _kmat(x, y, sigma, mask_y)
-    return k @ b
+    return jnp.matmul(k, b, precision="highest")
 
 
 def grad_kred(x, y, sigma, mask_y=None):
     """X(i,:) = sum_j (grad K)(x_i - y_j) = sum_j (y_j - x_i) K / s^2.
     (kernel.py:142,190)"""
     diff, _, k = _kmat(x, y, sigma, mask_y)
-    return jnp.einsum("mn,mnd->md", k, -diff) / sigma**2
+    return jnp.einsum("mn,mnd->md", k, -diff, precision="highest") / sigma**2
 
 
 def grad_kred_rev(x, y, d, sigma, mask_x=None):
@@ -91,14 +91,14 @@ def ddkred(x, y, b, sigma, mask_y=None):
     """X(i,d) = sum_j (grad_d K)(x_i - y_j) b_j^d (diagonal differential).
     (kernel.py:150,198)"""
     diff, _, k = _kmat(x, y, sigma, mask_y)
-    return jnp.einsum("mn,mnd->md", k, -diff * b[None, :, :]) / sigma**2
+    return jnp.einsum("mn,mnd->md", k, -diff * b[None, :, :], precision="highest") / sigma**2
 
 
 def gendk_red(x, y, b, c, sigma, mask_y=None):
     """X(i,:) = sum_j (grad K)(x_i - y_j) (c_i . b_j).  (kernel.py:154,202)"""
     diff, _, k = _kmat(x, y, sigma, mask_y)
-    dots = c @ b.T  # (M,N) = c_i . b_j
-    return jnp.einsum("mn,mnd->md", k * dots, -diff) / sigma**2
+    dots = jnp.matmul(c, b.T, precision="highest")  # (M,N) = c_i . b_j
+    return jnp.einsum("mn,mnd->md", k * dots, -diff, precision="highest") / sigma**2
 
 
 def hessk_red(x, y, b, c, sigma, mask_y=None):
@@ -109,7 +109,7 @@ def hessk_red(x, y, b, c, sigma, mask_y=None):
     cb = c[:, None, :] - b[None, :, :]  # (M,N,D)
     proj = jnp.sum(diff * cb, axis=-1)  # (M,N)
     term = diff * proj[:, :, None] / sigma**4 - cb / sigma**2
-    return jnp.einsum("mn,mnd->md", k, term)
+    return jnp.einsum("mn,mnd->md", k, term, precision="highest")
 
 
 def lapk_red(x, y, sigma, mask_y=None):
@@ -127,7 +127,7 @@ def gradlapk_red(x, y, sigma, mask_y=None):
     diff, d2, k = _kmat(x, y, sigma, mask_y)
     dim = x.shape[-1]
     coef = k * (d2 / sigma**6 - (dim + 2) / sigma**4)
-    return jnp.einsum("mn,mnd->md", coef, -diff)
+    return jnp.einsum("mn,mnd->md", coef, -diff, precision="highest")
 
 
 # ---------------------------------------------------------------------------
@@ -140,9 +140,9 @@ def v_field(x, q, p, sigma, eta, mask_q=None):
         v(x_i) = sum_j [ p_j K(x_i - q_j) - eta (grad K)(x_i - q_j) ].
     (LDDMM.py:100-116)"""
     diff, _, k = _kmat(x, q, sigma, mask_q)
-    out = k @ p
+    out = jnp.matmul(k, p, precision="highest")
     if eta != 0.0:
-        out = out - eta * (jnp.einsum("mn,mnd->md", k, -diff) / sigma**2)
+        out = out - eta * (jnp.einsum("mn,mnd->md", k, -diff, precision="highest") / sigma**2)
     return out
 
 
@@ -156,7 +156,7 @@ def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
     diff, d2, k = _kmat(q, x, sigma, mask_x)
     if mask_q is not None:
         k = k * mask_q[:, None]
-    grad_term = jnp.einsum("mn,mnd,md->", k, -diff, p) / sigma**2
+    grad_term = jnp.einsum("mn,mnd,md->", k, -diff, p, precision="highest") / sigma**2
     if eta == 0.0:
         return grad_term
     dim = q.shape[-1]
@@ -170,13 +170,13 @@ def hamiltonian(q, p, sigma, eta, mask_q=None):
     diff, d2, k = _kmat(q, q, sigma, mask_q)
     if mask_q is not None:
         k = k * mask_q[:, None]  # mask both axes
-    h = 0.5 * jnp.einsum("mn,md,nd->", k, p, p)
+    h = 0.5 * jnp.einsum("mn,md,nd->", k, p, p, precision="highest")
     if eta != 0.0:
         dim = q.shape[-1]
         # 0.5 sum_ij (p_i - p_j).gradK_ij == sum_ij p_i.gradK_ij by the
         # antisymmetry of gradK (matches reference form
         # ``eta * (p * GradKRed(q, q)).sum()``, LDDMM.py:152).
-        bsum = jnp.einsum("mn,mnd,md->", k, -diff, p) / sigma**2
+        bsum = jnp.einsum("mn,mnd,md->", k, -diff, p, precision="highest") / sigma**2
         csum = jnp.sum(k * (d2 / sigma**4 - dim / sigma**2))
         h = h - eta * bsum - 0.5 * eta**2 * csum
     return h
@@ -197,25 +197,25 @@ def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None):
     dim = q.shape[-1]
     sig2 = sigma**2
 
-    vq = k @ p
+    vq = jnp.matmul(k, p, precision="highest")
     dots = p @ p.T  # (M,M) p_i . p_j
-    gq = jnp.einsum("mn,mnd->md", k * dots, -diff) / sig2
+    gq = jnp.einsum("mn,mnd->md", k * dots, -diff, precision="highest") / sig2
 
     if eta != 0.0:
-        grad_red = jnp.einsum("mn,mnd->md", k, -diff) / sig2
+        grad_red = jnp.einsum("mn,mnd->md", k, -diff, precision="highest") / sig2
         vq = vq - eta * grad_red
         # HessKRed(q,q,p,p)
         cb = p[:, None, :] - p[None, :, :]
         proj = jnp.sum(diff * cb, axis=-1)
-        hess = jnp.einsum("mn,mnd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2)
+        hess = jnp.einsum("mn,mnd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2, precision="highest")
         # GradLapKRed(q,q)
         coef = k * (d2 / sigma**6 - (dim + 2) / sigma**4)
-        glap = jnp.einsum("mn,mnd->md", coef, -diff)
+        glap = jnp.einsum("mn,mnd->md", coef, -diff, precision="highest")
         gq = gq - eta * hess - eta**2 * glap
 
     if withlogdet:
         km = k * mask_q[:, None] if mask_q is not None else k
-        dcost = jnp.einsum("mn,mnd,md->", km, -diff, p) / sig2
+        dcost = jnp.einsum("mn,mnd,md->", km, -diff, p, precision="highest") / sig2
         if eta != 0.0:
             dcost = dcost + eta * jnp.sum(km * (d2 / sigma**4 - dim / sigma**2))
     else:
@@ -236,15 +236,15 @@ def lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q=None, mask_x=None):
     vq, mgq, _ = lddmm_rhs_self(q, p, sigma, eta, False, mask_q)
     diff, d2, k = _kmat(x, q, sigma, mask_q)  # (Nx, M)
     sig2 = sigma**2
-    vx = k @ p
+    vx = jnp.matmul(k, p, precision="highest")
     if eta != 0.0:
-        vx = vx - eta * (jnp.einsum("mn,mnd->md", k, -diff) / sig2)
+        vx = vx - eta * (jnp.einsum("mn,mnd->md", k, -diff, precision="highest") / sig2)
     if withlogdet:
         km = k * mask_x[:, None] if mask_x is not None else k
         # -sum_i div v(x_i) = sum_i sum_j p_j . (x_i - q_j) K / s^2 ... sign:
         # div v(x) = sum_j p_j.gradK(x - q_j) - eta LapK(x - q_j)
         # gradK(x_i - q_j) = -diff_ij K / s^2 with diff = x_i - q_j
-        dcost = -jnp.einsum("mn,mnd,nd->", km, -diff, p) / sig2
+        dcost = -jnp.einsum("mn,mnd,nd->", km, -diff, p, precision="highest") / sig2
         if eta != 0.0:
             dim = q.shape[-1]
             dcost = dcost + eta * jnp.sum(km * (d2 / sigma**4 - dim / sigma**2))
