@@ -25,27 +25,69 @@ from difficp_tpu.ops import reductions as _dense
 # 4M pairs * ~6 (M,N)-temps * 4B ~= 100MB peak — safe; beyond, stream.
 DENSE_PAIR_LIMIT = int(os.environ.get("DIFFICP_DENSE_PAIR_LIMIT", 4_000_000))
 
-_FORCE = {"mode": None}  # None = auto; "dense" | "blockwise"
+_FORCE = {"mode": None}  # None = auto; "dense" | "blockwise" | "pallas"
 
 
 def set_backend(mode):
     """Force a backend globally (None = size-based auto).  The analog of the
     reference's set_computversion (kernel.py:91-110)."""
-    assert mode in (None, "dense", "blockwise")
+    assert mode in (None, "dense", "blockwise", "pallas")
     _FORCE["mode"] = mode
 
 
 def _use_dense(m, n):
     if _FORCE["mode"] == "dense":
         return True
-    if _FORCE["mode"] == "blockwise":
+    if _FORCE["mode"] in ("blockwise", "pallas"):
         return False
     return m * n <= DENSE_PAIR_LIMIT
+
+
+def _use_pallas(eta):
+    if _FORCE["mode"] == "pallas":
+        return eta == 0.0
+    if _FORCE["mode"] is not None:
+        return False
+    import jax
+
+    # pallas fused kernels: TPU-compiled fast path (interpret mode on CPU is
+    # slow, so auto mode only selects them on real TPU)
+    return eta == 0.0 and jax.default_backend() == "tpu"
+
+
+_pallas_cache = {}
+
+
+def _pallas_self(sigma, eta, withlogdet):
+    from difficp_tpu.ops.pallas_reductions import make_rhs_self
+
+    key = ("self", float(sigma), float(eta), bool(withlogdet))
+    if key not in _pallas_cache:
+        _pallas_cache[key] = make_rhs_self(sigma, eta, withlogdet)
+    return _pallas_cache[key]
+
+
+def _pallas_ext(sigma, eta, withlogdet):
+    from difficp_tpu.ops.pallas_reductions import make_rhs_ext
+
+    key = ("ext", float(sigma), float(eta), bool(withlogdet))
+    if key not in _pallas_cache:
+        _pallas_cache[key] = make_rhs_ext(sigma, eta, withlogdet)
+    return _pallas_cache[key]
+
+
+def _ones_like_rows(a):
+    import jax.numpy as jnp
+
+    return jnp.ones((a.shape[0],), a.dtype)
 
 
 def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None):
     if _use_dense(q.shape[0], q.shape[0]):
         return _dense.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q)
+    if _use_pallas(eta):
+        mq = mask_q if mask_q is not None else _ones_like_rows(q)
+        return _pallas_self(sigma, eta, withlogdet)(q, p, mq)
     return _block.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q)
 
 
@@ -53,6 +95,10 @@ def lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q=None, mask_x=None):
     m = q.shape[0]
     if _use_dense(m, m + x.shape[0]):
         return _dense.lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q, mask_x)
+    if _use_pallas(eta):
+        mq = mask_q if mask_q is not None else _ones_like_rows(q)
+        mx = mask_x if mask_x is not None else _ones_like_rows(x)
+        return _pallas_ext(sigma, eta, withlogdet)(q, p, x, mq, mx)
     return _block.lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q, mask_x)
 
 

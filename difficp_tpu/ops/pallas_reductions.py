@@ -148,6 +148,128 @@ def _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
     return vq[:m], gq[:m], jnp.sum(dc)
 
 
+def _vx_kernel(xi_ref, mxi_ref, q_ref, p_ref, mq_ref, vx_ref, dc_ref, *,
+               sigma, withlogdet, tj, d):
+    """One x-tile of (v(x), per-row divergence cost); q/p stream from VMEM."""
+    ti = xi_ref.shape[0]
+    m_total = q_ref.shape[0]
+    n_j = m_total // tj
+    inv_sig2 = 1.0 / (sigma * sigma)
+
+    xi = [xi_ref[:, dd][:, None] for dd in range(d)]
+    mxi = mxi_ref[:, 0][:, None]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        qj = q_ref[pl.ds(j0, tj), :]
+        pj = p_ref[pl.ds(j0, tj), :]
+        mj = mq_ref[pl.ds(j0, tj), 0][None, :]
+        diffs = [xi[dd] - qj[:, dd][None, :] for dd in range(d)]
+        d2 = diffs[0] * diffs[0]
+        for dd in range(1, d):
+            d2 = d2 + diffs[dd] * diffs[dd]
+        k = jnp.exp(-0.5 * d2 * inv_sig2) * mj
+        vx, dc = acc
+        new_vx = [
+            vx[dd] + jnp.sum(k * pj[:, dd][None, :], axis=1, keepdims=True)
+            for dd in range(d)
+        ]
+        if withlogdet:
+            # -div v(x_i) partial = sum_j p_j . (x_i - q_j) K / s^2
+            proj = diffs[0] * pj[:, 0][None, :]
+            for dd in range(1, d):
+                proj = proj + diffs[dd] * pj[:, dd][None, :]
+            dc = dc + jnp.sum(mxi * k * proj, axis=1, keepdims=True) * inv_sig2
+        return (new_vx, dc)
+
+    acc0 = (
+        [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
+        jnp.zeros((ti, 1), jnp.float32),
+    )
+    vx, dc = jax.lax.fori_loop(0, n_j, body, acc0)
+    for dd in range(d):
+        vx_ref[:, dd] = (vx[dd] * mxi)[:, 0]
+    dc_ref[:, 0] = dc[:, 0]
+
+
+def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=256):
+    nx, d = x.shape
+    m = q.shape[0]
+    nx_pad = -(-nx // ti) * ti
+    m_pad = -(-m // tj) * tj
+    xp = _pad_rows(x, nx_pad)
+    mxp = _pad_rows(maskx[:, None], nx_pad)
+    qp = _pad_rows(q, m_pad)
+    pp = _pad_rows(p, m_pad)
+    mqp = _pad_rows(maskq[:, None], m_pad)
+    grid = nx_pad // ti
+    kernel = functools.partial(
+        _vx_kernel, sigma=float(sigma), withlogdet=bool(withlogdet), tj=tj, d=d
+    )
+    vx, dc = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nx_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((nx_pad, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xp, mxp, qp, pp, mqp)
+    return vx[:nx], jnp.sum(dc)
+
+
+def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
+                 ti: int = 256, tj: int = 256):
+    """Custom-VJP fused ext-RHS: (vq, -Gq, dcost-at-x, vx).
+
+    Support terms (vq, Gq over the small support set) run through the self
+    kernel; the data-point terms (vx and the divergence cost, the large-Nx
+    side) run the streaming ``_vx_kernel``.  Backward = blockwise VJP.
+    """
+    self_op = make_rhs_self(sigma, eta, False, ti, tj)
+
+    def reference_impl(q, p, x, maskq, maskx):
+        return _block.lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet,
+                                    maskq, maskx)
+
+    @jax.custom_vjp
+    def op(q, p, x, maskq, maskx):
+        if eta != 0.0:
+            return reference_impl(q, p, x, maskq, maskx)
+        vq, mgq, _ = self_op(q, p, maskq)
+        vx, dc = _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet,
+                                ti, tj)
+        if not withlogdet:
+            dc = jnp.zeros((), q.dtype)
+        return vq, mgq, dc, vx
+
+    def fwd(q, p, x, maskq, maskx):
+        return op(q, p, x, maskq, maskx), (q, p, x, maskq, maskx)
+
+    def bwd(res, cot):
+        q, p, x, maskq, maskx = res
+        _, vjp = jax.vjp(
+            lambda q_, p_, x_: reference_impl(q_, p_, x_, maskq, maskx),
+            q, p, x,
+        )
+        dq, dp, dx = vjp(cot)
+        return dq, dp, dx, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
                   ti: int = 256, tj: int = 256):
     """Build the custom-VJP fused self-RHS op for a fixed configuration.

@@ -68,3 +68,39 @@ def test_pallas_eta_fallback():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_rhs_ext_pallas_matches_dense():
+    from difficp_tpu.ops.pallas_reductions import make_rhs_ext
+
+    x = jnp.asarray(rng.normal(size=(150, D)).astype(np.float32))
+    mx = jnp.asarray((rng.uniform(size=150) > 0.2).astype(np.float32))
+    op = make_rhs_ext(SIG, 0.0, True, ti=64, tj=64)
+    vq, mgq, dc, vx = op(Q, P, x, MASK, mx)
+    vq_d, mgq_d, dc_d, vx_d = R.lddmm_rhs_ext(Q, P, x, SIG, 0.0, True, MASK, mx)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
+
+
+def test_rhs_ext_pallas_grads():
+    from difficp_tpu.ops.pallas_reductions import make_rhs_ext
+
+    x = jnp.asarray(rng.normal(size=(100, D)).astype(np.float32))
+    mx = jnp.ones(100, jnp.float32)
+    op = make_rhs_ext(SIG, 0.0, True, ti=32, tj=32)
+
+    def loss(fn):
+        def f(q, p, xx):
+            vq, mgq, dc, vx = fn(q, p, xx, MASK, mx)
+            return jnp.sum(vx**2) + jnp.sum(vq * mgq) + dc
+        return f
+
+    g1 = jax.grad(loss(op), argnums=(0, 1, 2))(Q, P, x)
+    g2 = jax.grad(
+        loss(lambda q, p, xx, mq, mxx: R.lddmm_rhs_ext(q, p, xx, SIG, 0.0, True, mq, mxx)),
+        argnums=(0, 1, 2),
+    )(Q, P, x)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
