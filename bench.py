@@ -1,0 +1,80 @@
+"""Benchmark: groupwise atlas throughput on the diffICP_multi workload.
+
+Runs our TPU-native DiffPSR on the exact reference workload (K=10 spiral
+point sets, C=20 GMM inferred by EM, hybrid LDDMM lambda=5e2 sigma=0.2, grid
+support rho=1.0 — reference examples/diffICP_multi.py:58-99), measures
+steady-state wall-clock per outer iteration (GMM EM + all-frame lockstep
+L-BFGS registration), and prints ONE JSON line:
+
+    {"metric": "atlas_iters_per_s", "value": ..., "unit": "outer-iter/s",
+     "vs_baseline": ...}
+
+vs_baseline is relative to the torch reference implementation on the same
+workload on this host (tests/goldens/ref_timing.json, produced by
+tests/bench_reference.py; the reference has no GPU/keops here — its own
+stated GPU speedup over this torch path is 10-100x, README.md:17).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import gmm, lddmm
+    from difficp_tpu.models.psr import DiffPSR
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spiral = np.load(os.path.join(here, "tests", "goldens", "spiral.npz"))
+    ref_path = os.path.join(here, "tests", "goldens", "ref_timing.json")
+    ref_iter_s = None
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref_iter_s = json.load(f)["mean_iter_seconds"]
+
+    x = [spiral[f"x{k}"] for k in range(10)]
+    rng = np.random.default_rng(0)
+    mu0 = x[0][rng.integers(0, x[0].shape[0], 20)]
+    state, _ = gmm.create(jnp.asarray(mu0))
+    gcfg = gmm.GMMConfig(optimize_mu=True, optimize_sigma=True,
+                         optimize_w=True, optimize_eta0=False)
+    lcfg = lddmm.make_config(sigma=0.2, lambd=5e2, version="hybrid",
+                             nt=10, scheme="Euler")
+    psr = DiffPSR(x, state, gcfg, lcfg)
+    psr.printstuff = False
+    psr.set_support_scheme("grid", rho=1.0)
+
+    def one_iter():
+        psr.GMM_opt(max_iterations=25, tol=1e-3)
+        psr.Reg_opt(tol=1e-3, nmax=10)
+        return psr.FE  # host float => full sync
+
+    # warmup: compile everything
+    one_iter()
+    one_iter()
+
+    n_iter = 8
+    t0 = time.time()
+    for _ in range(n_iter):
+        fe = one_iter()
+    elapsed = time.time() - t0
+    iter_per_s = n_iter / elapsed
+
+    vs_baseline = (iter_per_s * ref_iter_s) if ref_iter_s else None
+    out = {
+        "metric": "atlas_iters_per_s",
+        "value": round(iter_per_s, 4),
+        "unit": "outer-iter/s (K=10 frames, diffICP_multi workload)",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
