@@ -25,6 +25,17 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the heavy L-BFGS/scan graphs compile
+    # once per machine (the remote-compile path here is slow), later runs
+    # reuse the serialized executables
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from difficp_tpu.models import gmm, lddmm
