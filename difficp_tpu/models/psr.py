@@ -212,10 +212,11 @@ class MultiPSR:
         # per-point inlier weights gammaT (ones without outliers)
         self.ptw = jnp.ones_like(self.xmask)
 
-        # free-energy bookkeeping (PSR.py:114-127)
-        self.Cfe = [0.0] * self.S
-        self.regloss = np.zeros(self.K)
-        self.quadloss = np.zeros((self.K, self.S))
+        # free-energy bookkeeping (PSR.py:114-127) — kept on device; the
+        # single host sync per partial step happens in update_FE
+        self.Cfe = [jnp.zeros(())] * self.S
+        self.regloss = jnp.zeros(self.K)
+        self.quadloss = jnp.zeros((self.K, self.S))
         self.FE: Optional[float] = None
         self.last_reg_stats = None
         self.fe_increase_events = 0
@@ -254,13 +255,14 @@ class MultiPSR:
         lo, hi = self.slices[s]
         self.y = self.y.at[:, lo:hi].set(y_s)
         self.ptw = self.ptw.at[:, lo:hi].set(gamt_s)
-        self.Cfe[s] = float(cfe)
+        self.Cfe = list(self.Cfe)
+        self.Cfe[s] = cfe
         pf = self.structs[s]
         ql = _quadloss(
             self.struct_view(self.x1, s), y_s, pf.mask * gamt_s,
             jnp.broadcast_to(state.sigma**2, (self.K, pf.nmax)),
         )
-        self.quadloss[:, s] = np.asarray(ql)
+        self.quadloss = self.quadloss.at[:, s].set(ql)
 
     def update_GMM_targets(self):
         """Recompute targets y / Cfe / quadloss without parameter updates
@@ -283,10 +285,13 @@ class MultiPSR:
                 self.gmm_cfg[s], max_iterations, tol,
             )
             self._apply_gmm_outputs(s, st, y_s, cfe, gamt_s)
-            msg = f"GMM optim (structure {s}) : {int(iters)} EM steps"
-            if self.gmm_cfg[s].use_outliers:
-                p0 = 1.0 / (1.0 + math.exp(-float(self.gmm[s].eta0)))
-                msg += f", p_outlier={p0:.4}"
+            if self.printstuff:
+                msg = f"GMM optim (structure {s}) : {int(iters)} EM steps"
+                if self.gmm_cfg[s].use_outliers:
+                    p0 = 1.0 / (1.0 + math.exp(-float(self.gmm[s].eta0)))
+                    msg += f", p_outlier={p0:.4}"
+            else:
+                msg = None
             self.update_FE(message=msg)
 
     def reinitialize_GMM(self, s=None, do_mu=True, do_sigma=True, seed=0):
@@ -314,18 +319,22 @@ class MultiPSR:
 
     def _update_quadlosses(self):
         """Recompute quadloss[k, s] between warped points and targets."""
+        cols = []
         for s in range(self.S):
             pf = self.structs[s]
-            ql = _quadloss(
+            cols.append(_quadloss(
                 self.struct_view(self.x1, s), self.struct_view(self.y, s),
                 pf.mask * self.struct_view(self.ptw, s),
                 jnp.broadcast_to(self.gmm[s].sigma**2, (self.K, pf.nmax)),
-            )
-            self.quadloss[:, s] = np.asarray(ql)
+            ))
+        self.quadloss = jnp.stack(cols, axis=1)
 
     def update_FE(self, message=None):
-        """F bookkeeping with monotonicity check (PSR.py:226-236)."""
-        fe = sum(self.Cfe) + float(self.regloss.sum()) + float(self.quadloss.sum())
+        """F bookkeeping with monotonicity check (PSR.py:226-236).
+
+        All terms live on device; this is the one host sync per partial step.
+        """
+        fe = float(sum(self.Cfe) + jnp.sum(self.regloss) + jnp.sum(self.quadloss))
         if self.printstuff and message is not None:
             print(message.ljust(70) + f"Total free energy = {fe:.8}")
         if self.FE is not None and fe > self.FE + 1e-4 * abs(self.FE) + 1e-6:
@@ -430,23 +439,24 @@ class DiffPSR(MultiPSR):
         )
         self.a0 = a0
         self.x1 = x1
-        self.regloss = np.asarray(trajl, np.float64)
+        self.regloss = trajl
         self._update_quadlosses()
 
-        unc = np.asarray(uncovered)
-        if use_ext and unc.sum() > 0 and self.printstuff:
-            print(
-                f"WARNING : uncovered points during shooting "
-                f"(max {unc.max()} at one time step). Choose a smaller rho."
-            )
         self.last_reg_stats = dict(
-            nsteps=np.asarray(nsteps), change=np.asarray(change),
-            datal=np.asarray(datal), uncovered=unc,
+            nsteps=nsteps, change=change, datal=datal, uncovered=uncovered,
         )
-        total_loss = float(np.asarray(trajl).sum() + np.asarray(datal).sum())
-        self.update_FE(
-            message=f"Reg_opt ({self.K} frames in lockstep) : loss={total_loss:.4}"
-        )
+        if self.printstuff:
+            unc = np.asarray(uncovered)
+            if use_ext and unc.sum() > 0:
+                print(
+                    f"WARNING : uncovered points during shooting "
+                    f"(max {unc.max()} at one time step). Choose a smaller rho."
+                )
+            total_loss = float(jnp.sum(trajl) + jnp.sum(datal))
+            msg = f"Reg_opt ({self.K} frames in lockstep) : loss={total_loss:.4}"
+        else:
+            msg = None
+        self.update_FE(message=msg)
 
     def Registration(self, k=0) -> LDDMMRegistration:
         return LDDMMRegistration(
@@ -487,10 +497,14 @@ class AffinePSR(MultiPSR):
             self.acfg, self.x0, self.y, z, self.ptw, self.xmask
         )
         self.M, self.t, self.x1 = m, t, tx
-        self.regloss = np.asarray(regl, np.float64)
+        self.regloss = regl
         self._update_quadlosses()
-        total = float(np.asarray(datal).sum() + np.asarray(regl).sum())
-        self.update_FE(message=f"Affine Reg_opt ({self.K} frames) : loss={total:.4}")
+        if self.printstuff:
+            total = float(jnp.sum(datal) + jnp.sum(regl))
+            msg = f"Affine Reg_opt ({self.K} frames) : loss={total:.4}"
+        else:
+            msg = None
+        self.update_FE(message=msg)
 
     def Registration(self, k=0) -> AffineRegistration:
         return AffineRegistration(cfg=self.acfg, m=self.M[k], t=self.t[k])

@@ -54,9 +54,9 @@ def save_psr(path: str, psr):
         "x1": np.asarray(psr.x1),
         "y": np.asarray(psr.y),
         "ptw": np.asarray(psr.ptw),
-        "Cfe": list(psr.Cfe),
-        "regloss": psr.regloss.tolist(),
-        "quadloss": psr.quadloss.tolist(),
+        "Cfe": [float(c) for c in psr.Cfe],
+        "regloss": np.asarray(psr.regloss).tolist(),
+        "quadloss": np.asarray(psr.quadloss).tolist(),
         "FE": psr.FE,
     }
     if isinstance(psr, DiffPSR):
@@ -82,9 +82,9 @@ def load_psr(path: str, psr):
     psr.x1 = jnp.asarray(state["x1"])
     psr.y = jnp.asarray(state["y"])
     psr.ptw = jnp.asarray(state["ptw"])
-    psr.Cfe = list(state["Cfe"])
-    psr.regloss = np.asarray(state["regloss"])
-    psr.quadloss = np.asarray(state["quadloss"])
+    psr.Cfe = [jnp.asarray(c) for c in state["Cfe"]]
+    psr.regloss = jnp.asarray(state["regloss"], jnp.float32)
+    psr.quadloss = jnp.asarray(state["quadloss"], jnp.float32)
     psr.FE = state["FE"]
     if state["kind"] == "diff":
         psr.a0 = jnp.asarray(state["a0"])
