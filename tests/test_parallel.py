@@ -110,3 +110,55 @@ def test_shard_psr_runs_and_matches():
     np.testing.assert_allclose(
         np.asarray(psr_b.a0), np.asarray(psr_a.a0), rtol=5e-2, atol=5e-3
     )
+
+
+def test_ring_rhs_matches_single_device():
+    """Point-sharded ring reduction == dense single-device RHS."""
+    from difficp_tpu.ops import reductions as R
+    from difficp_tpu.parallel.ring import make_ring_shoot, ring_rhs_self
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8, axis="points")
+    rng = np.random.default_rng(0)
+    m = 8 * 32
+    q = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32) * 0.2)
+    mask = jnp.asarray((rng.uniform(size=m) > 0.2).astype(np.float32))
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda q, p, mk: ring_rhs_self(q, p, mk, 0.5, True, "points"),
+            mesh=mesh,
+            in_specs=(P("points"), P("points"), P("points")),
+            out_specs=(P("points"), P("points"), P()),
+            check_vma=False,
+        )
+    )
+    vq, mgq, dc = fn(q, p * mask[:, None], mask)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(q, p * mask[:, None], 0.5, 0.0, True, mask)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
+
+
+def test_ring_shoot_matches_single_device():
+    from difficp_tpu.models import lddmm as lddmm_mod
+    from difficp_tpu.parallel.ring import make_ring_shoot
+
+    mesh = make_mesh(8, axis="points")
+    rng = np.random.default_rng(1)
+    m = 8 * 16
+    q = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32) * 0.1)
+    mask = jnp.ones((m,), jnp.float32)
+
+    shoot_fn = make_ring_shoot(0.5, 100.0, True, nt=5, mesh=mesh, scheme="Euler")
+    q1, p1, cost = shoot_fn(q, p, mask)
+
+    lcfg = lddmm_mod.make_config(sigma=0.5, lambd=100.0, version="hybrid",
+                                 nt=5, scheme="Euler")
+    final, _ = lddmm_mod.shoot(lcfg, q, p)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(final.q), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(cost), float(final.cost), rtol=1e-3,
+                               atol=1e-4)
