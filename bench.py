@@ -61,19 +61,14 @@ def main():
     psr.printstuff = False
     psr.set_support_scheme("grid", rho=1.0)
 
-    def one_iter():
-        psr.GMM_opt(max_iterations=25, tol=1e-3)
-        psr.Reg_opt(tol=1e-3, nmax=10)
-        return psr.FE  # host float => full sync
-
-    # warmup: compile everything
-    one_iter()
-    one_iter()
-
+    psr.printstuff = False
     n_iter = 8
+    # warmup + compile of the fused on-device loop (semantics == stepwise
+    # GMM_opt+Reg_opt; verified in tests/test_psr_basic.py)
+    psr.run(n_iter, max_em=25, em_tol=1e-3, reg_nmax=10, reg_tol=1e-3)
+
     t0 = time.time()
-    for _ in range(n_iter):
-        fe = one_iter()
+    fes = psr.run(n_iter, max_em=25, em_tol=1e-3, reg_nmax=10, reg_tol=1e-3)
     elapsed = time.time() - t0
     iter_per_s = n_iter / elapsed
 

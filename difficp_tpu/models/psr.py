@@ -160,6 +160,82 @@ def _v_all(lcfg, x, q, p, qmask):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gcfgs", "lcfg", "slices", "n_outer", "max_em", "reg_nmax", "use_ext",
+    ),
+)
+def _run_loop_lddmm(
+    gstates, q0, a0, x0, x1, qmask, xmask,
+    gcfgs, lcfg, slices, n_outer, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+):
+    """The whole alternating loop (GMM EM + lockstep registration), fused
+    into ONE compiled program: ``n_outer`` iterations of the reference's
+    outer loop (ICP_atlas.py:269-298) run on device with zero host round
+    trips.  Returns final states + the per-iteration FE sequence (host can
+    check the monotonicity oracle and convergence afterwards).
+    """
+    k = x0.shape[0]
+    n_s = len(slices)
+
+    def gmm_pass(gstates, x1):
+        ys, ptws, cfes = [], [], []
+        new_states = []
+        for s, (lo, hi) in enumerate(slices):
+            xs = x1[:, lo:hi]
+            ms = xmask[:, lo:hi]
+            opt = gmm_mod.em_optimization(
+                gstates[s], xs.reshape(-1, xs.shape[-1]), ms.reshape(-1),
+                gcfgs[s], max_iterations=max_em, tol=em_tol,
+            )
+            new_states.append(opt.state)
+            ys.append(opt.y.reshape(xs.shape))
+            ptws.append(opt.gamt.reshape(ms.shape))
+            cfes.append(opt.cfe)
+        return tuple(new_states), jnp.concatenate(ys, axis=1), \
+            jnp.concatenate(ptws, axis=1), jnp.stack(cfes)
+
+    def sig2_of(gstates):
+        segs = [
+            jnp.broadcast_to(gstates[s].sigma ** 2, (k, hi - lo))
+            for s, (lo, hi) in enumerate(slices)
+        ]
+        return jnp.concatenate(segs, axis=1)
+
+    def outer(carry, _):
+        gstates, a0, x1 = carry
+        gstates, y, ptw, cfes = gmm_pass(gstates, x1)
+        sig2 = sig2_of(gstates)
+
+        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
+            def dataloss(pts):
+                return jnp.sum(
+                    (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
+                )
+
+            res = lddmm_mod.optimize(
+                lcfg, dataloss, q0k, a0k,
+                x0k if use_ext else None, qmk,
+                xmk if use_ext else None, nmax=reg_nmax, tol=reg_tol,
+            )
+            x1k = res.final.x if use_ext else res.final.q
+            return res.p0, x1k, res.trajl
+
+        a0, x1, trajl = jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
+        quad = jnp.sum(
+            (xmask * ptw)[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None])
+        )
+        fe = jnp.sum(cfes) + jnp.sum(trajl) + quad
+        return (gstates, a0, x1), (fe, cfes, trajl, quad)
+
+    carry0 = (tuple(gstates), a0, x1)
+    (gstates, a0, x1), (fes, cfes, trajls, quads) = jax.lax.scan(
+        outer, carry0, None, length=n_outer
+    )
+    return gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1]
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -457,6 +533,41 @@ class DiffPSR(MultiPSR):
         else:
             msg = None
         self.update_FE(message=msg)
+
+    def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
+            reg_nmax: int = 10, reg_tol: float = 1e-3):
+        """Fused fast path: run ``n_iters`` full alternations (GMM EM +
+        lockstep registration) as ONE compiled device program — zero host
+        round trips inside the loop.  Equivalent to calling GMM_opt() +
+        Reg_opt() n_iters times; host bookkeeping is refreshed at the end.
+
+        :return: per-iteration free-energy sequence (numpy array).
+        """
+        use_ext = self.support_scheme is not None
+        gstates, a0, x1, fes, cfes, trajl, quad = _run_loop_lddmm(
+            tuple(self.gmm), self.q0, self.a0, self.x0, self.x1,
+            self.qmask, self.xmask,
+            tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
+            n_iters, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+        )
+        self.gmm = list(gstates)
+        self.a0 = a0
+        self.x1 = x1
+        self.regloss = trajl
+        fes_host = np.asarray(fes, np.float64)
+        inc = int(np.sum(np.diff(fes_host) > 1e-4 * np.abs(fes_host[:-1]) + 1e-6))
+        if self.FE is not None and fes_host[0] > self.FE + 1e-4 * abs(self.FE):
+            inc += 1
+        if inc and self.printstuff:
+            print("WARNING: measured increase in free energy ! Should not happen.")
+        self.fe_increase_events += inc
+        self.FE = float(fes_host[-1])
+        keep, self.printstuff = self.printstuff, False
+        self.update_GMM_targets()  # refresh y/ptw/Cfe/quadloss consistently
+        self.printstuff = keep
+        if self.printstuff:
+            print(f"run({n_iters}) : FE {fes_host[0]:.6} -> {self.FE:.6}")
+        return fes_host
 
     def Registration(self, k=0) -> LDDMMRegistration:
         return LDDMMRegistration(

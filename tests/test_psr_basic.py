@@ -83,3 +83,21 @@ def test_registration_handle_and_backward():
     # (q1, -p1) back-shooting is the exact inverse only up to the nt=10
     # Euler discretization error
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=2e-2)
+
+
+def test_fused_run_matches_stepwise():
+    """DiffPSR.run (one compiled program) tracks the step-by-step loop."""
+    psr_a = build_psr()
+    psr_b = build_psr()
+    for _ in range(5):
+        psr_a.GMM_opt(max_iterations=25, tol=1e-3)
+        psr_a.Reg_opt(tol=1e-3, nmax=10)
+    fes = psr_b.run(5, max_em=25, em_tol=1e-3, reg_nmax=10, reg_tol=1e-3)
+    assert len(fes) == 5
+    assert psr_b.fe_increase_events == 0
+    # same trajectory of free energies (within optimizer noise)
+    assert abs(psr_b.FE - psr_a.FE) < 5e-3 * abs(psr_a.FE), (psr_b.FE, psr_a.FE)
+    n = int(psr_a.structs[0].n[0])
+    x1a = np.asarray(psr_a.x1[0])[:n]
+    x1b = np.asarray(psr_b.x1[0])[:n]
+    assert np.sqrt(((x1a - x1b) ** 2).sum(-1)).mean() < 0.01
