@@ -1,0 +1,113 @@
+"""Large-scale single-chip benchmarks (run on TPU; results -> BASELINE.md).
+
+1. Fused LDDMM RHS (pallas) throughput sweep over M.
+2. Full atlas outer iteration at K frames x N=16k points each, dense
+   support (the regime where the reference's dense-torch backend cannot run
+   at all — kernel.py:99-104).
+
+Usage:  python benchmarks/scale_bench.py [rhs|atlas|all]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def sync_read(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def bench_rhs():
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.ops.pallas_reductions import make_rhs_self
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for m in (16384, 65536, 131072):
+        q = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+        p = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+        mask = jnp.ones((m,), jnp.float32)
+        op = jax.jit(make_rhs_self(0.2, 0.0, True, ti=256, tj=512))
+        o = op(q, p, mask)
+        sync_read(o[0])
+        n_calls = 8
+        t0 = time.time()
+        for _ in range(n_calls):
+            o = op(q, p, mask)
+        sync_read(o[0])
+        dt = (time.time() - t0) / n_calls
+        gpairs = m * m / dt / 1e9
+        out[f"M={m}"] = {"ms_per_call": round(dt * 1e3, 3),
+                         "Gpairs_per_s": round(gpairs, 1)}
+        print(f"pallas fused RHS M={m}: {dt*1e3:.2f} ms -> {gpairs:.0f} Gpair/s",
+              flush=True)
+    return out
+
+
+def bench_atlas(k=10, n=16384, n_iter=2):
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import gmm, lddmm
+    from difficp_tpu.models.psr import DiffPSR
+
+    rng = np.random.default_rng(0)
+    # synthetic spiral-ish clouds at scale
+    base_t = rng.uniform(0, 2 * np.pi, size=(k, n)).astype(np.float32)
+    x = []
+    for kk in range(k):
+        t = base_t[kk]
+        pts = np.stack([
+            0.5 + 0.4 * (t / 7) * np.cos(t), 0.5 + 0.3 * np.sin(t)
+        ], 1) + 0.02 * rng.normal(size=(n, 2))
+        x.append(pts.astype(np.float32))
+
+    mu0 = x[0][rng.integers(0, n, 40)]
+    state, _ = gmm.create(jnp.asarray(mu0))
+    gcfg = gmm.GMMConfig()
+    lcfg = lddmm.make_config(sigma=0.2, lambd=5e2, version="hybrid",
+                             nt=10, scheme="Euler")
+    psr = DiffPSR(x, state, gcfg, lcfg)
+    psr.printstuff = False
+    # dense support: support = all 16k data points per frame (pallas path)
+
+    t0 = time.time()
+    psr.run(1, max_em=10, em_tol=1e-3, reg_nmax=2, reg_tol=1e-3)
+    print(f"atlas compile+first iter: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    psr.run(n_iter, max_em=10, em_tol=1e-3, reg_nmax=2, reg_tol=1e-3)
+    dt = (time.time() - t0) / n_iter
+    frames_per_s = k / dt
+    print(
+        f"atlas K={k} x N={n}: {dt:.2f} s/outer-iter -> "
+        f"{frames_per_s:.2f} frames/s per iteration", flush=True,
+    )
+    return {"K": k, "N": n, "s_per_iter": round(dt, 2),
+            "frames_per_s_iter": round(frames_per_s, 2)}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"),
+    )
+    res = {}
+    if which in ("all", "rhs"):
+        res["rhs"] = bench_rhs()
+    if which in ("all", "atlas"):
+        res["atlas"] = bench_atlas()
+    print(json.dumps(res))

@@ -27,7 +27,6 @@ import copy
 from typing import Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from difficp_tpu.api import common
 from difficp_tpu.models import gmm as gmm_mod

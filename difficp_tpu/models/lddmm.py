@@ -237,3 +237,14 @@ def random_p(cfg: LDDMMConfig, q, key, rcond=1e-3, alpha=1e-4,
     if qmask is not None:
         p = p * qmask[:, None]
     return p
+
+
+def quad_dataloss(y, cmul: float = 1.0):
+    """Basic quadratic landmark dataloss functor: x -> cmul * |x - y|^2 / 2
+    (reference BasicQuadLossFunctor, LDDMM.py:303-314)."""
+    y = jax.lax.stop_gradient(y)
+
+    def dataloss(x):
+        return jnp.sum((x - y) ** 2) * cmul / 2.0
+
+    return dataloss

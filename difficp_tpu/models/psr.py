@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -443,7 +443,14 @@ class DiffPSR(MultiPSR):
 
     def initialize_a0(self, rcond=1e-3):
         """a0 for (approximately) zero initial speeds — not zero when the
-        vector field carries a gradcomponent (PSR.py:406-413)."""
+        vector field carries a gradcomponent (PSR.py:406-413).
+
+        With eta == 0 the zero-speed momenta are exactly zero, so the
+        ill-conditioned RKHS solve is skipped (matters at scale: the solve
+        is an O(M^3) SVD on the support set)."""
+        if self.lcfg.eta == 0.0:
+            self.a0 = jnp.zeros_like(self.q0)
+            return
         v0 = jnp.zeros_like(self.q0)
         self.a0 = _v2p_all(self.lcfg, self.q0, v0, self.qmask, rcond)
 

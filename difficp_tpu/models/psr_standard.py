@@ -24,7 +24,7 @@ DiffPSR_std / AffinePSR_std and ``data_distance``):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from difficp_tpu.models import lddmm as lddmm_mod
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import pad_structures
 from difficp_tpu.utils.lbfgs import lbfgs_optimize
-from difficp_tpu.utils.point_sets import decimate, grid_support, intrinsic_scale
+from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
 def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None):
@@ -222,6 +222,10 @@ class DiffPSRStd(MultiPSRStd):
     # ----- momenta (PSR_standard.py:422-440) ---------------------------
 
     def initialize_a0(self, rcond=1e-3):
+        if self.lcfg.eta == 0.0:
+            # zero speeds <=> zero momenta when there is no gradcomponent
+            self.a0 = jnp.zeros((self.K,) + self.q0.shape, self.q0.dtype)
+            return
         p = lddmm_mod.v2p(self.lcfg, self.q0, jnp.zeros_like(self.q0), rcond=rcond)
         self.a0 = jnp.broadcast_to(p[None], (self.K,) + p.shape)
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
-import jax.numpy as jnp
 
 from difficp_tpu.models import affine as affine_mod
 from difficp_tpu.models import lddmm as lddmm_mod

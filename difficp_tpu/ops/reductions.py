@@ -31,8 +31,6 @@ float (1 = real point, 0 = padding).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

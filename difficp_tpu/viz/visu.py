@@ -92,3 +92,27 @@ def plot_gmm(state, *samples, bounds=None, heatmap=True, log_contours=True,
         )
     mu = on_cpu(state.mu)
     plt.plot(mu[:, 0], mu[:, 1], "X", color="black", markersize=8)
+
+
+def plot_gmm_clusters(state, *samples, bounds=None, cluster_colors=None):
+    """Cluster-colored scatter: each point drawn in the color of its most
+    responsible component, centroids as black crosses (reference GMM.plot_bis,
+    GMM.py:647-686)."""
+    import matplotlib.pyplot as plt
+
+    from difficp_tpu.models import gmm as gmm_mod
+
+    if cluster_colors is None:
+        cluster_colors = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    for x in samples:
+        lgam = np.asarray(gmm_mod.log_responsibilities(state, x))
+        affect = lgam.argmax(axis=1)
+        xn = on_cpu(x)
+        for c in range(state.mu.shape[0]):
+            sel = affect == c
+            if sel.any():
+                plt.plot(xn[sel, 0], xn[sel, 1], ".",
+                         color=cluster_colors[c % len(cluster_colors)],
+                         alpha=0.6)
+    mu = on_cpu(state.mu)
+    plt.plot(mu[:, 0], mu[:, 1], "X", color="black", markersize=10)

@@ -335,6 +335,51 @@ def golden_multi():
     print("multi_run.npz written, final FE:", fes[-1])
 
 
+def golden_chui():
+    """Reference ICP_two_set on the Chui-Rangarajan dataset 3 (the
+    reference's own demo workload, ICP_two_set.py:297-345), similarity and
+    diffeomorphic (fixed lambda) variants."""
+    import scipy.io
+
+    from diffICP.api.ICP_two_set import ICP_two_set
+    from diffICP.tools.kernel import GaussKernel
+
+    def _check_coverage(self, X, Y, Rthreshold):
+        return ((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1).min(dim=1).values > (
+            Rthreshold * self.sigma
+        ) ** 2
+
+    GaussKernel.check_coverage = _check_coverage
+
+    mat = scipy.io.loadmat("/root/reference/diffICP/examples/chui-data/demodata_ex3.mat")
+    xa = torch.tensor(np.ascontiguousarray(mat["x3"], np.float32))
+    xb = torch.tensor(np.ascontiguousarray(mat["y3"], np.float32))
+
+    res = {"xa": t2n(xa), "xb": t2n(xb)}
+    for tag, reg in (
+        ("sim", {"type": "similarity"}),
+        ("diff", {"type": "diffeomorphic", "lambda_LDDMM": 200.0,
+                  "sigma_LDDMM": 0.2}),
+    ):
+        psr, _ = ICP_two_set(
+            xa, xb,
+            {"sigma": 0.1, "optimize_sigma": True, "outlier_weight": None},
+            reg,
+            numerical_options={"computversion": "torch"},
+            optim_options={"max_iterations": 30, "convergence_tolerance": 1e-4,
+                           "max_repeat_GMM": 25},
+            plotstuff=False, printstuff=False,
+        )
+        res[f"{tag}_FE"] = np.float64(psr.FE)
+        res[f"{tag}_sigma"] = np.float32(psr.GMMi[0].sigma)
+        res[f"{tag}_x1"] = t2n(psr.x1[0, 0])
+        res[f"{tag}_quadloss"] = np.float64(psr.quadloss.sum())
+        res[f"{tag}_regloss"] = np.float64(sum(float(r) for r in psr.regloss))
+        print(tag, "FE", psr.FE, flush=True)
+    np.savez(os.path.join(OUT, "chui_run.npz"), **res)
+    print("chui_run.npz written")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "gmm"):
@@ -349,3 +394,5 @@ if __name__ == "__main__":
         golden_basic()
     if which in ("all", "multi"):
         golden_multi()
+    if which in ("all", "chui"):
+        golden_chui()
