@@ -4,20 +4,23 @@ The forward LDDMM ODE right-hand side — the hottest op of the whole
 framework (SURVEY §3.1: every L-BFGS function evaluation runs nt of these) —
 as a hand-tiled TPU kernel:
 
-- grid over i-tiles; q/p/mask stay resident in VMEM (point sets up to a few
-  hundred thousand points fit comfortably: 100k x 2 x 4B = 0.8 MB);
+- **Packed transposed layout**: the natural (M, D) point arrays would pad
+  every row to 128 lanes in VMEM (64x waste for D=2, OOM above ~60k points).
+  Inputs are packed as ONE (8, M) array (rows = q dims, p dims, mask) and
+  outputs as one (8, M) array (rows = vq dims, Gq dims, per-point dcost):
+  lane axis = points, sublane padding only 8/(2D+1).
+- grid over i-tiles; the packed array stays resident in VMEM (4 MB at
+  M = 131k) and j-tiles stream from it; works to ~200k points per chip —
+  beyond that, shard points over the mesh (difficp_tpu/parallel/ring.py).
 - the (TI, TJ) kernel tile is computed once per (i, j) tile pair and ALL
-  outputs (v(q), -grad_q H, divergence cost) are accumulated from it in the
-  same pass (the fusion KeOps cannot do across separate reductions —
-  reference LDDMM.py:176-227 issues 3-6 independent kernel launches);
-- per-dimension unrolled arithmetic (D = 2 or 3): everything is (TI, TJ)
-  VPU element-wise work + row reductions; no (M, N) buffer ever exists.
+  outputs (v(q), -grad_q H, divergence cost) accumulate from it in the same
+  pass (fusion KeOps cannot do across its separate reductions — reference
+  LDDMM.py:176-227 issues 3-6 independent kernel launches).
 
-Gradients: the wrapper is a ``jax.custom_vjp`` whose backward runs the
-blockwise jnp implementation's VJP (same tiling discipline, O(M) memory).
+Gradients: wrappers are ``jax.custom_vjp`` whose backward runs the blockwise
+jnp implementation's VJP (same tiling discipline, O(M) memory).
 
-On non-TPU backends the kernels run in interpret mode (tests), selected
-automatically.
+On non-TPU backends the kernels run in interpret mode (tests).
 """
 
 from __future__ import annotations
@@ -26,74 +29,76 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from difficp_tpu.ops import blockwise as _block
+
+_ROWS = 8  # packed sublane count (TPU f32 sublane tile)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_rows(a, n, value=0.0):
-    if a.shape[0] == n:
-        return a
-    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-    return jnp.pad(a, pad, constant_values=value)
+def _pack(arrs, mpad):
+    """Pack a list of (M,) rows into one (8, mpad) array."""
+    m = arrs[0].shape[0]
+    rows = jnp.zeros((_ROWS, mpad), jnp.float32)
+    for i, a in enumerate(arrs):
+        rows = rows.at[i, :m].set(a)
+    return rows
 
 
-def _rhs_self_kernel(qi_ref, pi_ref, mi_ref, q_ref, p_ref, m_ref,
-                     vq_ref, gq_ref, dc_ref, *, sigma, eta, withlogdet,
-                     tj, d):
-    """One i-tile of the fused self RHS; streams j-tiles from VMEM."""
-    ti = qi_ref.shape[0]
-    m_total = q_ref.shape[0]
+def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet, tj, d):
+    """One i-tile of the fused self RHS (eta == 0).
+
+    blk_ref: (8, TI) packed i-tile [q rows 0..d-1 | p rows d..2d-1 | mask 2d].
+    full_ref: (8, Mpad) same packing, whole set (streams j-tiles).
+    out_ref: (8, TI) packed [vq rows | Gq rows | dcost row 2d].
+    """
+    ti = blk_ref.shape[1]
+    m_total = full_ref.shape[1]
     n_j = m_total // tj
     inv_sig2 = 1.0 / (sigma * sigma)
 
-    qi = [qi_ref[:, dd][:, None] for dd in range(d)]    # (TI, 1) each
-    pi = [pi_ref[:, dd][:, None] for dd in range(d)]
-    mi = mi_ref[:, 0][:, None]                           # (TI, 1)
+    # i-side columns (TI, 1): one sublane->lane transpose per tile
+    qi = [blk_ref[dd, :][:, None] for dd in range(d)]
+    pi = [blk_ref[d + dd, :][:, None] for dd in range(d)]
+    mi = blk_ref[2 * d, :][:, None]
 
     def body(jt, acc):
         j0 = jt * tj
-        qj = q_ref[pl.ds(j0, tj), :]                     # (TJ, D)
-        pj = p_ref[pl.ds(j0, tj), :]
-        mj = m_ref[pl.ds(j0, tj), 0][None, :]            # (1, TJ)
+        qj = [full_ref[dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        pj = [full_ref[d + dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        mj = full_ref[2 * d, pl.ds(j0, tj)][None, :]
 
-        diffs = [qi[dd] - qj[:, dd][None, :] for dd in range(d)]  # (TI,TJ)
+        diffs = [qi[dd] - qj[dd] for dd in range(d)]     # (TI, TJ)
         d2 = diffs[0] * diffs[0]
         for dd in range(1, d):
             d2 = d2 + diffs[dd] * diffs[dd]
         k = jnp.exp(-0.5 * d2 * inv_sig2) * mj
 
-        # p_i . p_j as (TI, TJ)
-        dots = pi[0] * pj[:, 0][None, :]
+        dots = pi[0] * pj[0]
         for dd in range(1, d):
-            dots = dots + pi[dd] * pj[:, dd][None, :]
+            dots = dots + pi[dd] * pj[dd]
 
         vq, gq, dc = acc
         kd = k * dots
-        new_vq = []
-        new_gq = []
-        for dd in range(d):
-            new_vq.append(
-                vq[dd] + jnp.sum(k * pj[:, dd][None, :], axis=1, keepdims=True)
-            )
-            # gradK_d = -diff_d * K / sig^2 ; Gq_d = sum_j gradK_d * dots
-            new_gq.append(
-                gq[dd]
-                - jnp.sum(kd * diffs[dd], axis=1, keepdims=True) * inv_sig2
-            )
+        vq = [
+            vq[dd] + jnp.sum(k * pj[dd], axis=1, keepdims=True)
+            for dd in range(d)
+        ]
+        gq = [
+            gq[dd] - jnp.sum(kd * diffs[dd], axis=1, keepdims=True) * inv_sig2
+            for dd in range(d)
+        ]
         if withlogdet:
-            # per-row dcost partial: m_i sum_j p_i . gradK(q_i - q_j)
             proj = pi[0] * diffs[0]
             for dd in range(1, d):
                 proj = proj + pi[dd] * diffs[dd]
             dc = dc - jnp.sum(mi * k * proj, axis=1, keepdims=True) * inv_sig2
-        return (new_vq, new_gq, dc)
+        return (vq, gq, dc)
 
     acc0 = (
         [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
@@ -102,84 +107,81 @@ def _rhs_self_kernel(qi_ref, pi_ref, mi_ref, q_ref, p_ref, m_ref,
     )
     vq, gq, dc = jax.lax.fori_loop(0, n_j, body, acc0)
     for dd in range(d):
-        vq_ref[:, dd] = (vq[dd] * mi)[:, 0]
-        gq_ref[:, dd] = (gq[dd] * mi)[:, 0]
-    dc_ref[:, 0] = dc[:, 0]
+        out_ref[dd, :] = (vq[dd] * mi)[:, 0]
+        out_ref[d + dd, :] = (gq[dd] * mi)[:, 0]
+    out_ref[2 * d, :] = dc[:, 0]
+    for r in range(2 * d + 1, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
 
 
-def _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
-                         ti=256, tj=256):
+def _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet, ti=256, tj=512):
     """Pallas forward of the fused self RHS (eta == 0 fast path)."""
     m, d = q.shape
-    mpad = -(-m // max(ti, tj)) * max(ti, tj)
-    qp = _pad_rows(q, mpad)
-    pp = _pad_rows(p, mpad)
-    mk = _pad_rows(mask[:, None], mpad)
-    grid = mpad // ti
-
-    kernel = functools.partial(
-        _rhs_self_kernel, sigma=float(sigma), eta=float(eta),
-        withlogdet=bool(withlogdet), tj=tj, d=d,
+    step = max(ti, tj)
+    mpad = -(-m // step) * step
+    packed = _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)] + [mask],
+        mpad,
     )
-    vq, gq, dc = pl.pallas_call(
+    grid = mpad // ti
+    kernel = functools.partial(
+        _rhs_self_kernel, sigma=float(sigma), withlogdet=bool(withlogdet),
+        tj=tj, d=d,
+    )
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mpad, d), jnp.float32),
-            jax.ShapeDtypeStruct((mpad, d), jnp.float32),
-            jax.ShapeDtypeStruct((mpad, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
         interpret=_interpret(),
-    )(qp, pp, mk, qp, pp, mk)
-    return vq[:m], gq[:m], jnp.sum(dc)
+    )(packed, packed)
+    vq = out[0:d, :m].T
+    gq = out[d : 2 * d, :m].T
+    dc = jnp.sum(out[2 * d])
+    return vq, gq, dc
 
 
-def _vx_kernel(xi_ref, mxi_ref, q_ref, p_ref, mq_ref, vx_ref, dc_ref, *,
-               sigma, withlogdet, tj, d):
-    """One x-tile of (v(x), per-row divergence cost); q/p stream from VMEM."""
-    ti = xi_ref.shape[0]
-    m_total = q_ref.shape[0]
+def _vx_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):
+    """One x-tile of (v(x), per-point divergence cost).
+
+    xblk_ref: (8, TI) packed x-tile [x rows 0..d-1 | mask row d].
+    q_ref: (8, Mpad) packed support [q rows | p rows | mask].
+    out_ref: (8, TI) packed [vx rows 0..d-1 | dcost row d].
+    """
+    ti = xblk_ref.shape[1]
+    m_total = q_ref.shape[1]
     n_j = m_total // tj
     inv_sig2 = 1.0 / (sigma * sigma)
 
-    xi = [xi_ref[:, dd][:, None] for dd in range(d)]
-    mxi = mxi_ref[:, 0][:, None]
+    xi = [xblk_ref[dd, :][:, None] for dd in range(d)]
+    mxi = xblk_ref[d, :][:, None]
 
     def body(jt, acc):
         j0 = jt * tj
-        qj = q_ref[pl.ds(j0, tj), :]
-        pj = p_ref[pl.ds(j0, tj), :]
-        mj = mq_ref[pl.ds(j0, tj), 0][None, :]
-        diffs = [xi[dd] - qj[:, dd][None, :] for dd in range(d)]
+        qj = [q_ref[dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        pj = [q_ref[d + dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        mj = q_ref[2 * d, pl.ds(j0, tj)][None, :]
+        diffs = [xi[dd] - qj[dd] for dd in range(d)]
         d2 = diffs[0] * diffs[0]
         for dd in range(1, d):
             d2 = d2 + diffs[dd] * diffs[dd]
         k = jnp.exp(-0.5 * d2 * inv_sig2) * mj
         vx, dc = acc
-        new_vx = [
-            vx[dd] + jnp.sum(k * pj[:, dd][None, :], axis=1, keepdims=True)
+        vx = [
+            vx[dd] + jnp.sum(k * pj[dd], axis=1, keepdims=True)
             for dd in range(d)
         ]
         if withlogdet:
-            # -div v(x_i) partial = sum_j p_j . (x_i - q_j) K / s^2
-            proj = diffs[0] * pj[:, 0][None, :]
+            proj = diffs[0] * pj[0]
             for dd in range(1, d):
-                proj = proj + diffs[dd] * pj[:, dd][None, :]
+                proj = proj + diffs[dd] * pj[dd]
             dc = dc + jnp.sum(mxi * k * proj, axis=1, keepdims=True) * inv_sig2
-        return (new_vx, dc)
+        return (vx, dc)
 
     acc0 = (
         [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
@@ -187,49 +189,79 @@ def _vx_kernel(xi_ref, mxi_ref, q_ref, p_ref, mq_ref, vx_ref, dc_ref, *,
     )
     vx, dc = jax.lax.fori_loop(0, n_j, body, acc0)
     for dd in range(d):
-        vx_ref[:, dd] = (vx[dd] * mxi)[:, 0]
-    dc_ref[:, 0] = dc[:, 0]
+        out_ref[dd, :] = (vx[dd] * mxi)[:, 0]
+    out_ref[d, :] = dc[:, 0]
+    for r in range(d + 1, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
 
 
-def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=256):
+def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=512):
     nx, d = x.shape
     m = q.shape[0]
     nx_pad = -(-nx // ti) * ti
     m_pad = -(-m // tj) * tj
-    xp = _pad_rows(x, nx_pad)
-    mxp = _pad_rows(maskx[:, None], nx_pad)
-    qp = _pad_rows(q, m_pad)
-    pp = _pad_rows(p, m_pad)
-    mqp = _pad_rows(maskq[:, None], m_pad)
+    xpacked = _pack([x[:, dd] for dd in range(d)] + [maskx], nx_pad)
+    qpacked = _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)] + [maskq],
+        m_pad,
+    )
     grid = nx_pad // ti
     kernel = functools.partial(
         _vx_kernel, sigma=float(sigma), withlogdet=bool(withlogdet), tj=tj, d=d
     )
-    vx, dc = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((ti, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nx_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((nx_pad, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, nx_pad), jnp.float32),
         interpret=_interpret(),
-    )(xp, mxp, qp, pp, mqp)
-    return vx[:nx], jnp.sum(dc)
+    )(xpacked, qpacked)
+    vx = out[0:d, :nx].T
+    dc = jnp.sum(out[d])
+    return vx, dc
+
+
+def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
+                  ti: int = 256, tj: int = 512):
+    """Build the custom-VJP fused self-RHS op for a fixed configuration.
+
+    Forward: Pallas kernel (eta == 0) or blockwise fallback (eta != 0 —
+    the gradcomponent path is rare; reference defaults gradcomponent=False,
+    ICP_two_set.py:151).
+    Backward: VJP of the blockwise implementation (tile-streamed, O(M) mem).
+    """
+
+    def reference_impl(q, p, mask):
+        return _block.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask)
+
+    @jax.custom_vjp
+    def op(q, p, mask):
+        if eta != 0.0:
+            return reference_impl(q, p, mask)
+        vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet,
+                                          ti, tj)
+        return vq, -gq, dc  # contract: (v(q), -Gq, dcost)
+
+    def fwd(q, p, mask):
+        return op(q, p, mask), (q, p, mask)
+
+    def bwd(res, cot):
+        q, p, mask = res
+        _, vjp = jax.vjp(lambda q_, p_: reference_impl(q_, p_, mask), q, p)
+        dq, dp = vjp(cot)
+        return dq, dp, None
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
-                 ti: int = 256, tj: int = 256):
+                 ti: int = 256, tj: int = 512):
     """Custom-VJP fused ext-RHS: (vq, -Gq, dcost-at-x, vx).
 
     Support terms (vq, Gq over the small support set) run through the self
@@ -264,40 +296,6 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
         )
         dq, dp, dx = vjp(cot)
         return dq, dp, dx, None, None
-
-    op.defvjp(fwd, bwd)
-    return op
-
-
-def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
-                  ti: int = 256, tj: int = 256):
-    """Build the custom-VJP fused self-RHS op for a fixed configuration.
-
-    Forward: Pallas kernel (eta == 0) or blockwise fallback (eta != 0 —
-    the gradcomponent path is rare; reference defaults gradcomponent=False,
-    ICP_two_set.py:151).
-    Backward: VJP of the blockwise implementation (tile-streamed, O(M) mem).
-    """
-
-    def reference_impl(q, p, mask):
-        return _block.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask)
-
-    @jax.custom_vjp
-    def op(q, p, mask):
-        if eta != 0.0:
-            return reference_impl(q, p, mask)
-        vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
-                                          ti, tj)
-        return vq, -gq, dc  # contract: (v(q), -Gq, dcost)
-
-    def fwd(q, p, mask):
-        return op(q, p, mask), (q, p, mask)
-
-    def bwd(res, cot):
-        q, p, mask = res
-        _, vjp = jax.vjp(lambda q_, p_: reference_impl(q_, p_, mask), q, p)
-        dq, dp = vjp(cot)
-        return dq, dp, None
 
     op.defvjp(fwd, bwd)
     return op
