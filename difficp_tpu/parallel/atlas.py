@@ -173,8 +173,3 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
     return train_step
 
 
-def atlas_train_step(*args, **kwargs):
-    """Convenience: build + run one step (see make_atlas_train_step)."""
-    raise NotImplementedError(
-        "use make_atlas_train_step(gcfg, lcfg, mesh, ...) to build the step"
-    )

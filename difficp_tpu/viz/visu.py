@@ -116,3 +116,15 @@ def plot_gmm_clusters(state, *samples, bounds=None, cluster_colors=None):
                          alpha=0.6)
     mu = on_cpu(state.mu)
     plt.plot(mu[:, 0], mu[:, 1], "X", color="black", markersize=10)
+
+
+def plot_trajectories(psr, k: int = 0, support: bool = False, **kwargs):
+    """Plot the shooting trajectories of frame k's points (reference
+    MultiPSR.plot_trajectories, PSR.py:310-345)."""
+    import matplotlib.pyplot as plt
+
+    kwargs.setdefault("alpha", 0.5)
+    kwargs.setdefault("color", "C" + str(k))
+    traj = psr.trajectories(k=k, support=support)  # (nt+1, N, D)
+    for n in range(traj.shape[1]):
+        plt.plot(traj[:, n, 0], traj[:, n, 1], **kwargs)
