@@ -380,6 +380,49 @@ def golden_chui():
     print("chui_run.npz written")
 
 
+def golden_standard():
+    """Reference standard_two_set (template-deforms, RKHS measure distance)
+    on the spiral pair — validates our PSR_standard energy/optimization."""
+    from diffICP.api.standard_two_set import standard_two_set
+    from diffICP.core.PSR_standard import data_distance
+    from diffICP.tools.kernel import GaussKernel
+
+    def _check_coverage(self, X, Y, Rthreshold):
+        return ((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1).min(dim=1).values > (
+            Rthreshold * self.sigma
+        ) ** 2
+
+    GaussKernel.check_coverage = _check_coverage
+
+    spiral = np.load(os.path.join(OUT, "spiral.npz"))
+    xa = torch.tensor(spiral["x0"])  # template (deforms)
+    xb = torch.tensor(spiral["x1"])  # data (fixed)
+
+    # raw data_distance value golden (exact formula check)
+    dk = GaussKernel(0.1, 2, computversion="torch")
+    dd = data_distance(dk, xb, xa)
+    res = {
+        "xa": t2n(xa), "xb": t2n(xb),
+        "data_distance_0.1": np.float64(float(dd)),
+    }
+
+    psr, _ = standard_two_set(
+        xa, xb,
+        {"type": "diffeomorphic", "sigma_data": 0.1, "noise_std": 0.2,
+         "sigma_LDDMM": 0.2},
+        numerical_options={"computversion": "torch"},
+        optim_options={"max_iterations": 6, "convergence_tolerance": 1e-4,
+                       "nmax_per_iter": 4},
+        plotstuff=False, printstuff=False,
+    )
+    res["E"] = np.float64(psr.E)
+    res["y1"] = t2n(psr.y1[0, 0])
+    res["regloss"] = np.float64(float(psr.regloss[0]))
+    print("standard E:", psr.E, flush=True)
+    np.savez(os.path.join(OUT, "standard_run.npz"), **res)
+    print("standard_run.npz written")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "gmm"):
@@ -396,3 +439,5 @@ if __name__ == "__main__":
         golden_multi()
     if which in ("all", "chui"):
         golden_chui()
+    if which in ("all", "standard"):
+        golden_standard()
