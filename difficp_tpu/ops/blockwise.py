@@ -79,7 +79,12 @@ def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
         jnp.zeros((m, d), q.dtype),
         jnp.zeros((), q.dtype),
     )
-    (vq, gq, dcost), _ = jax.lax.scan(body, acc0, (qj, pj, mj))
+    # checkpoint each tile step: the backward pass recomputes the (M, tile)
+    # kernel tile instead of storing it (otherwise grads materialize
+    # ntiles x (M, tile, D) residuals -> HBM OOM at scale)
+    (vq, gq, dcost), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), acc0, (qj, pj, mj)
+    )
     return vq, gq, dcost
 
 
@@ -128,7 +133,9 @@ def _rhs_ext_blockwise(x, q, p, maskq, maskx, sigma, eta, withlogdet,
         return (vx, dcost), None
 
     acc0 = (jnp.zeros((nx, d), x.dtype), jnp.zeros((), x.dtype))
-    (vx, dcost), _ = jax.lax.scan(body, acc0, (qj, pj, mj))
+    (vx, dcost), _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), acc0, (qj, pj, mj)
+    )
     return vx, dcost
 
 
