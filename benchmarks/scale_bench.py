@@ -59,6 +59,11 @@ def bench_atlas(k=10, n=16384, n_iter=2):
 
     from difficp_tpu.models import gmm, lddmm
     from difficp_tpu.models.psr import DiffPSR
+    from difficp_tpu.ops import backend
+
+    # blockwise backend for the vmapped registration (pallas-under-vmap is
+    # exercised separately; see tests + bench_rhs)
+    backend.set_backend("blockwise")
 
     rng = np.random.default_rng(0)
     # synthetic spiral-ish clouds at scale
