@@ -53,7 +53,7 @@ def bench_rhs():
     return out
 
 
-def bench_atlas(k=10, n=16384, n_iter=2):
+def bench_atlas(k=10, n=4096, n_iter=2):
     import jax
     import jax.numpy as jnp
 

@@ -226,6 +226,161 @@ def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=512):
     return vx, dc
 
 
+def _rhs_self_bwd_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma, tj, d):
+    """Fused backward of the self RHS (eta == 0): (dq, dp) from cotangents.
+
+    Packing (16 rows, lane = points):
+      blk/full rows: [q 0..d-1 | p d..2d-1 | mask 2d | gv 2d+1..3d |
+                      gg 3d+1..4d]  (4d+1 <= 13 rows used)
+    gc_ref: (1, 1) SMEM scalar — cotangent of the divergence cost.
+    out rows: [dq 0..d-1 | dp d..2d-1].
+
+    Derivation: L = gv.vq + gg.(-Gq) + gc.dc with
+      vq_i = m_i sum_j k_ij m_j p_j
+      Gq_i = m_i sum_j (-delta_ij/s2) k_ij m_j (p_i.p_j)
+      dc   = -(1/s2) sum_ij m_i m_j k_ij (p_i.delta_ij)
+    Every term of dL/dq_l, dL/dp_l is a row reduction over j with payloads
+    from (p, m.gv, m.gg) — one pass over the tile space.
+    """
+    ti = blk_ref.shape[1]
+    m_total = full_ref.shape[1]
+    n_j = m_total // tj
+    inv_s2 = 1.0 / (sigma * sigma)
+    gc = gc_ref[0, 0]
+
+    def col(ref, r):
+        return ref[r, :][:, None]
+
+    qi = [col(blk_ref, dd) for dd in range(d)]
+    pi = [col(blk_ref, d + dd) for dd in range(d)]
+    mi = col(blk_ref, 2 * d)
+    # fold row masks into the cotangents once
+    gvi = [col(blk_ref, 2 * d + 1 + dd) * mi for dd in range(d)]
+    ggi = [col(blk_ref, 3 * d + 1 + dd) * mi for dd in range(d)]
+
+    def body(jt, acc):
+        j0 = jt * tj
+
+        def row(r):
+            return full_ref[r, pl.ds(j0, tj)][None, :]
+
+        qj = [row(dd) for dd in range(d)]
+        pj = [row(d + dd) for dd in range(d)]
+        mj = row(2 * d)
+        gvj = [row(2 * d + 1 + dd) * mj for dd in range(d)]
+        ggj = [row(3 * d + 1 + dd) * mj for dd in range(d)]
+
+        delta = [qi[dd] - qj[dd] for dd in range(d)]
+        d2 = delta[0] * delta[0]
+        for dd in range(1, d):
+            d2 = d2 + delta[dd] * delta[dd]
+        k = jnp.exp(-0.5 * d2 * inv_s2)
+        km = k * mj  # column-masked kernel
+
+        # pair scalars (TI, TJ)
+        b = pi[0] * pj[0]
+        gv_dot_pj = gvi[0] * pj[0]
+        ggl_dot_delta = ggi[0] * delta[0]
+        ggj_dot_delta = ggj[0] * delta[0]
+        gvj_dot_pl = gvj[0] * pi[0]
+        pl_dot_delta = pi[0] * delta[0]
+        pj_dot_delta = pj[0] * delta[0]
+        for dd in range(1, d):
+            b = b + pi[dd] * pj[dd]
+            gv_dot_pj = gv_dot_pj + gvi[dd] * pj[dd]
+            ggl_dot_delta = ggl_dot_delta + ggi[dd] * delta[dd]
+            ggj_dot_delta = ggj_dot_delta + ggj[dd] * delta[dd]
+            gvj_dot_pl = gvj_dot_pl + gvj[dd] * pi[dd]
+            pl_dot_delta = pl_dot_delta + pi[dd] * delta[dd]
+            pj_dot_delta = pj_dot_delta + pj[dd] * delta[dd]
+
+        dq, dp = acc
+        # scalar row-coefficients multiplying delta_d and p_d / basis vectors
+        coef_delta = (
+            -inv_s2 * km * gv_dot_pj                      # T1a
+            - inv_s2 * (mi * k) * gvj_dot_pl              # T1b
+            - inv_s2 * inv_s2 * km * ggl_dot_delta * b    # T2k-a
+            + inv_s2 * inv_s2 * (mi * k) * ggj_dot_delta * b  # T2k-b
+            + gc * mi * inv_s2 * inv_s2 * km * (pl_dot_delta - pj_dot_delta)  # T3k
+        )
+        coef_ggl = inv_s2 * km * b                        # T2d-a (times gg_l)
+        coef_ggj = -inv_s2 * (mi * k) * b                 # T2d-b (times gg_j)
+        coef_pl3 = -gc * mi * inv_s2 * km                 # T3d-a (times p_l)
+        coef_pj3 = gc * mi * inv_s2 * km                  # T3d-b (times p_j)
+
+        coef_pj_dp = (
+            inv_s2 * km * ggl_dot_delta                   # T2a (times p_j)
+            - inv_s2 * (mi * k) * ggj_dot_delta           # T2b (times p_j)
+        )
+        coef_gvj_dp = mi * k                              # T1 (times gv_j)
+        coef_delta_dp = -gc * mi * inv_s2 * km            # T3 (times delta)
+
+        new_dq = []
+        new_dp = []
+        for dd in range(d):
+            dq_dd = jnp.sum(
+                coef_delta * delta[dd]
+                + coef_ggj * ggj[dd]
+                + coef_pj3 * pj[dd],
+                axis=1, keepdims=True,
+            ) + jnp.sum(coef_ggl, axis=1, keepdims=True) * ggi[dd] \
+              + jnp.sum(coef_pl3, axis=1, keepdims=True) * pi[dd]
+            dp_dd = jnp.sum(
+                coef_pj_dp * pj[dd]
+                + coef_gvj_dp * gvj[dd]
+                + coef_delta_dp * delta[dd],
+                axis=1, keepdims=True,
+            )
+            new_dq.append(dq[dd] + dq_dd)
+            new_dp.append(dp[dd] + dp_dd)
+        return (new_dq, new_dp)
+
+    acc0 = (
+        [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
+        [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
+    )
+    dq, dp = jax.lax.fori_loop(0, n_j, body, acc0)
+    for dd in range(d):
+        out_ref[dd, :] = dq[dd][:, 0]
+        out_ref[d + dd, :] = dp[dd][:, 0]
+    for r in range(2 * d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _rhs_self_bwd_pallas(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):
+    m, d = q.shape
+    step = max(ti, tj)
+    mpad = -(-m // step) * step
+    rows16 = 16
+    packed = jnp.zeros((rows16, mpad), jnp.float32)
+    cols = (
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
+        + [mask] + [gv[:, dd] for dd in range(d)] + [gg[:, dd] for dd in range(d)]
+    )
+    for i, c in enumerate(cols):
+        packed = packed.at[i, :m].set(c)
+    grid = mpad // ti
+    kernel = functools.partial(_rhs_self_bwd_kernel, sigma=float(sigma),
+                               tj=tj, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows16, ti), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
+        interpret=_interpret(),
+    )(packed, packed, jnp.reshape(gc.astype(jnp.float32), (1, 1)))
+    dq = out[0:d, :m].T
+    dp = out[d : 2 * d, :m].T
+    return dq, dp
+
+
 def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
                   ti: int = 256, tj: int = 512):
     """Build the custom-VJP fused self-RHS op for a fixed configuration.
@@ -252,8 +407,14 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
 
     def bwd(res, cot):
         q, p, mask = res
-        _, vjp = jax.vjp(lambda q_, p_: reference_impl(q_, p_, mask), q, p)
-        dq, dp = vjp(cot)
+        if eta != 0.0:
+            _, vjp = jax.vjp(lambda q_, p_: reference_impl(q_, p_, mask), q, p)
+            dq, dp = vjp(cot)
+            return dq, dp, None
+        gv, gg, gc = cot
+        if not withlogdet:
+            gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
+        dq, dp = _rhs_self_bwd_pallas(q, p, mask, gv, gg, gc, sigma, ti, tj)
         return dq, dp, None
 
     op.defvjp(fwd, bwd)
