@@ -180,3 +180,37 @@ def test_standard_atlas_small():
     )
     assert psr.e_increase_events <= 1  # template re-projection may wobble once
     assert len(evol["y0"]) == 3
+
+
+def test_standard_atlas_template_weights():
+    x = [SPIRAL[f"x{k}"][:40] for k in range(3)]
+    psr, evol = standard_atlas(
+        x, initial_template=0,
+        model_parameters={"sigma_data": 0.12, "noise_std": 0.3,
+                          "sigma_LDDMM": 0.25, "use_template_weights": True},
+        optim_options={"max_iterations": 2, "convergence_tolerance": 1e-4},
+        printstuff=False,
+    )
+    assert "w0" in evol and len(evol["w0"]) == 2
+    w = np.asarray(psr.w0[0])
+    assert np.isfinite(w).all()
+    # weights moved away from uniform but stay near a distribution
+    assert abs(float(w.sum()) - 1.0) < 0.5
+
+
+def test_standard_two_set_similarity_expm():
+    th = 0.25
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    xa = 1.2 * (X0 @ rot.T) + np.array([0.2, 0.1], np.float32)
+    psr, _ = standard_two_set(
+        xa, X0,
+        model_parameters={"type": "similarity", "sigma_data": 0.1},
+        optim_options={"max_iterations": 6, "convergence_tolerance": 1e-5,
+                       "nmax_per_iter": 6},
+        printstuff=False,
+    )
+    m = np.asarray(psr.M[0])
+    # recovered M ~ (1/1.2) rot^{-1}: orthogonal direction + scale < 1
+    scale = np.sqrt(np.abs(np.linalg.det(m)))
+    assert 0.6 < scale < 1.05
