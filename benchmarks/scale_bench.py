@@ -53,17 +53,16 @@ def bench_rhs():
     return out
 
 
-def bench_atlas(k=10, n=4096, n_iter=2):
+def bench_atlas(k=10, n=16384, n_iter=3):
+    """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
+    single program executions running much beyond ~60 s, so at scale each
+    partial step is its own (short) program; the pallas fwd+bwd kernels keep
+    every Reg_opt call well under that."""
     import jax
     import jax.numpy as jnp
 
     from difficp_tpu.models import gmm, lddmm
     from difficp_tpu.models.psr import DiffPSR
-    from difficp_tpu.ops import backend
-
-    # blockwise backend for the vmapped registration (pallas-under-vmap is
-    # exercised separately; see tests + bench_rhs)
-    backend.set_backend("blockwise")
 
     rng = np.random.default_rng(0)
     # synthetic spiral-ish clouds at scale
@@ -85,12 +84,18 @@ def bench_atlas(k=10, n=4096, n_iter=2):
     psr.printstuff = False
     # dense support: support = all 16k data points per frame (pallas path)
 
-    t0 = time.time()
-    psr.run(1, max_em=10, em_tol=1e-3, reg_nmax=2, reg_tol=1e-3)
-    print(f"atlas compile+first iter: {time.time()-t0:.1f}s", flush=True)
+    def one_iter():
+        psr.GMM_opt(max_iterations=10, tol=1e-3)
+        psr.Reg_opt(tol=1e-3, nmax=1)
 
     t0 = time.time()
-    psr.run(n_iter, max_em=10, em_tol=1e-3, reg_nmax=2, reg_tol=1e-3)
+    one_iter()
+    print(f"atlas compile+first iter: {time.time()-t0:.1f}s FE={psr.FE:.1f}",
+          flush=True)
+
+    t0 = time.time()
+    for _ in range(n_iter):
+        one_iter()
     dt = (time.time() - t0) / n_iter
     frames_per_s = k / dt
     print(
