@@ -542,26 +542,40 @@ class DiffPSR(MultiPSR):
         self.update_FE(message=msg)
 
     def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
-            reg_nmax: int = 10, reg_tol: float = 1e-3):
+            reg_nmax: int = 10, reg_tol: float = 1e-3,
+            chunk: Optional[int] = None):
         """Fused fast path: run ``n_iters`` full alternations (GMM EM +
         lockstep registration) as ONE compiled device program — zero host
         round trips inside the loop.  Equivalent to calling GMM_opt() +
         Reg_opt() n_iters times; host bookkeeping is refreshed at the end.
 
+        ``chunk`` splits the loop into several programs of at most that many
+        iterations each (large workloads: single device programs should stay
+        under the runtime's execution watchdog; compile is shared across
+        equal-size chunks).
+
         :return: per-iteration free-energy sequence (numpy array).
         """
         use_ext = self.support_scheme is not None
-        gstates, a0, x1, fes, cfes, trajl, quad = _run_loop_lddmm(
-            tuple(self.gmm), self.q0, self.a0, self.x0, self.x1,
-            self.qmask, self.xmask,
-            tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
-            n_iters, max_em, em_tol, reg_nmax, reg_tol, use_ext,
-        )
-        self.gmm = list(gstates)
+        chunk = n_iters if chunk is None else max(1, min(chunk, n_iters))
+        fes_list = []
+        done = 0
+        while done < n_iters:
+            c = min(chunk, n_iters - done)
+            gstates, a0, x1, fes, cfes, trajl, quad = _run_loop_lddmm(
+                tuple(self.gmm), self.q0, a0 if done else self.a0,
+                self.x0, x1 if done else self.x1,
+                self.qmask, self.xmask,
+                tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
+                c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+            )
+            self.gmm = list(gstates)
+            fes_list.append(np.asarray(fes, np.float64))
+            done += c
         self.a0 = a0
         self.x1 = x1
         self.regloss = trajl
-        fes_host = np.asarray(fes, np.float64)
+        fes_host = np.concatenate(fes_list)
         inc = int(np.sum(np.diff(fes_host) > 1e-4 * np.abs(fes_host[:-1]) + 1e-6))
         if self.FE is not None and fes_host[0] > self.FE + 1e-4 * abs(self.FE):
             inc += 1

@@ -101,3 +101,14 @@ def test_fused_run_matches_stepwise():
     x1a = np.asarray(psr_a.x1[0])[:n]
     x1b = np.asarray(psr_b.x1[0])[:n]
     assert np.sqrt(((x1a - x1b) ** 2).sum(-1)).mean() < 0.01
+
+
+def test_fused_run_chunked_equals_unchunked():
+    psr_a = build_psr()
+    psr_b = build_psr()
+    fes_a = psr_a.run(4, max_em=10, em_tol=1e-3, reg_nmax=3, reg_tol=1e-3)
+    fes_b = psr_b.run(4, max_em=10, em_tol=1e-3, reg_nmax=3, reg_tol=1e-3,
+                      chunk=2)
+    np.testing.assert_allclose(fes_a, fes_b, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(psr_a.a0), np.asarray(psr_b.a0),
+                               rtol=1e-4, atol=1e-5)
