@@ -86,7 +86,10 @@ def bench_atlas(k=10, n=16384, n_iter=3):
 
     def one_iter():
         psr.GMM_opt(max_iterations=10, tol=1e-3)
-        psr.Reg_opt(tol=1e-3, nmax=1)
+        # two short registration programs (inner=10 L-BFGS steps each):
+        # keeps each device program under the runtime execution watchdog
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=10)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=10)
 
     t0 = time.time()
     one_iter()

@@ -168,6 +168,7 @@ def optimize(
     nmax: int = 10,
     tol: float = 1e-3,
     errthresh: float = 1e8,
+    inner: int = 20,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
@@ -184,7 +185,7 @@ def optimize(
         return trajloss(cfg, q0, p, final.cost, qmask) + dataloss(pts)
 
     res = lbfgs_optimize(
-        lossfn, p0, nmax=nmax, tol=tol, errthresh=errthresh
+        lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh
     )
     p_best = res.params
     final, _ = shoot(cfg, q0, p_best, x0, qmask, xmask)

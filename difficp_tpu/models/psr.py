@@ -76,11 +76,11 @@ def _quadloss(x1, y, w, sig2):
 
 @partial(
     jax.jit,
-    static_argnames=("lcfg", "use_ext", "nmax", "coverage_check"),
+    static_argnames=("lcfg", "use_ext", "nmax", "inner", "coverage_check"),
 )
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
-    coverage_check, r_cover_warn=2.0,
+    coverage_check, r_cover_warn=2.0, inner=20,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
@@ -106,6 +106,7 @@ def _reg_opt_lddmm(
             xmk if use_ext else None,
             nmax=nmax,
             tol=tol,
+            inner=inner,
         )
         # one more shoot saving the trajectory: warped points + coverage
         final, traj = lddmm_mod.shoot(
@@ -512,13 +513,17 @@ class DiffPSR(MultiPSR):
 
     # ----- registration optimization (PSR.py:521-569) ----------------------
 
-    def Reg_opt(self, tol=1e-3, nmax=10):
+    def Reg_opt(self, tol=1e-3, nmax=10, inner=20):
+        """LDDMM registration optimization (PSR.py:521-569).  ``nmax`` outer
+        steps of ``inner`` L-BFGS iterations each (torch semantics:
+        max_iter=20 per step).  At large scale keep nmax*inner small enough
+        that one program execution stays under the runtime watchdog."""
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
         a0, x1, trajl, datal, nsteps, change, uncovered = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
-            nmax, tol, use_ext, True,
+            nmax, tol, use_ext, True, inner=inner,
         )
         self.a0 = a0
         self.x1 = x1
