@@ -86,10 +86,11 @@ def bench_atlas(k=10, n=16384, n_iter=3):
 
     def one_iter():
         psr.GMM_opt(max_iterations=10, tol=1e-3)
-        # two short registration programs (inner=10 L-BFGS steps each):
-        # keeps each device program under the runtime execution watchdog
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=10)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=10)
+        # short registration programs: the axon runtime kills device
+        # programs running much past ~60 s, so cap L-BFGS work per program
+        # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=6)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=6)
 
     t0 = time.time()
     one_iter()

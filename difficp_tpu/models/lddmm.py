@@ -169,6 +169,7 @@ def optimize(
     tol: float = 1e-3,
     errthresh: float = 1e8,
     inner: int = 20,
+    max_linesearch_steps: int = 25,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
@@ -185,7 +186,8 @@ def optimize(
         return trajloss(cfg, q0, p, final.cost, qmask) + dataloss(pts)
 
     res = lbfgs_optimize(
-        lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh
+        lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh,
+        max_linesearch_steps=max_linesearch_steps,
     )
     p_best = res.params
     final, _ = shoot(cfg, q0, p_best, x0, qmask, xmask)

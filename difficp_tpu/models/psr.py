@@ -76,11 +76,12 @@ def _quadloss(x1, y, w, sig2):
 
 @partial(
     jax.jit,
-    static_argnames=("lcfg", "use_ext", "nmax", "inner", "coverage_check"),
+    static_argnames=("lcfg", "use_ext", "nmax", "inner", "ls_steps",
+                     "coverage_check"),
 )
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
-    coverage_check, r_cover_warn=2.0, inner=20,
+    coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
@@ -107,6 +108,7 @@ def _reg_opt_lddmm(
             nmax=nmax,
             tol=tol,
             inner=inner,
+            max_linesearch_steps=ls_steps,
         )
         # one more shoot saving the trajectory: warped points + coverage
         final, traj = lddmm_mod.shoot(
@@ -513,7 +515,7 @@ class DiffPSR(MultiPSR):
 
     # ----- registration optimization (PSR.py:521-569) ----------------------
 
-    def Reg_opt(self, tol=1e-3, nmax=10, inner=20):
+    def Reg_opt(self, tol=1e-3, nmax=10, inner=20, ls_steps=25):
         """LDDMM registration optimization (PSR.py:521-569).  ``nmax`` outer
         steps of ``inner`` L-BFGS iterations each (torch semantics:
         max_iter=20 per step).  At large scale keep nmax*inner small enough
@@ -523,7 +525,7 @@ class DiffPSR(MultiPSR):
         a0, x1, trajl, datal, nsteps, change, uncovered = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
-            nmax, tol, use_ext, True, inner=inner,
+            nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
         )
         self.a0 = a0
         self.x1 = x1
