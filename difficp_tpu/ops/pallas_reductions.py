@@ -315,6 +315,9 @@ def _rhs_self_bwd_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma, tj, d):
         coef_gvj_dp = mi * k                              # T1 (times gv_j)
         coef_delta_dp = -gc * mi * inv_s2 * km            # T3 (times delta)
 
+        # row-sums shared across dims: hoist out of the per-dim loop
+        sum_ggl = jnp.sum(coef_ggl, axis=1, keepdims=True)
+        sum_pl3 = jnp.sum(coef_pl3, axis=1, keepdims=True)
         new_dq = []
         new_dp = []
         for dd in range(d):
@@ -323,8 +326,7 @@ def _rhs_self_bwd_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma, tj, d):
                 + coef_ggj * ggj[dd]
                 + coef_pj3 * pj[dd],
                 axis=1, keepdims=True,
-            ) + jnp.sum(coef_ggl, axis=1, keepdims=True) * ggi[dd] \
-              + jnp.sum(coef_pl3, axis=1, keepdims=True) * pi[dd]
+            ) + sum_ggl * ggi[dd] + sum_pl3 * pi[dd]
             dp_dd = jnp.sum(
                 coef_pj_dp * pj[dd]
                 + coef_gvj_dp * gvj[dd]
@@ -421,6 +423,192 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
     return op
 
 
+def _ext_bwd_dx_kernel(xblk_ref, q_ref, out_ref, *, sigma, tj, d):
+    """Per x-tile gradient dx of the cross terms (vx, dc).
+
+    xblk rows: [x 0..d-1 | mx d | gx d+1..2d]  (Gx = mx*gx folded in-kernel)
+    q_ref rows: [q 0..d-1 | p d..2d-1 | mq 2d | gc broadcast row 2d+1]
+    out rows: [dx 0..d-1]
+    """
+    ti = xblk_ref.shape[1]
+    m_total = q_ref.shape[1]
+    n_j = m_total // tj
+    inv_s2 = 1.0 / (sigma * sigma)
+
+    xi = [xblk_ref[dd, :][:, None] for dd in range(d)]
+    mxi = xblk_ref[d, :][:, None]
+    gxi = [xblk_ref[d + 1 + dd, :][:, None] * mxi for dd in range(d)]
+    gc = q_ref[2 * d + 1, 0]
+
+    def body(jt, acc):
+        j0 = jt * tj
+
+        def row(r):
+            return q_ref[r, pl.ds(j0, tj)][None, :]
+
+        qj = [row(dd) for dd in range(d)]
+        pj = [row(d + dd) for dd in range(d)]
+        mqj = row(2 * d)
+        delta = [xi[dd] - qj[dd] for dd in range(d)]
+        d2 = delta[0] * delta[0]
+        for dd in range(1, d):
+            d2 = d2 + delta[dd] * delta[dd]
+        km = jnp.exp(-0.5 * d2 * inv_s2) * mqj
+
+        gx_dot_p = gxi[0] * pj[0]
+        p_dot_delta = pj[0] * delta[0]
+        for dd in range(1, d):
+            gx_dot_p = gx_dot_p + gxi[dd] * pj[dd]
+            p_dot_delta = p_dot_delta + pj[dd] * delta[dd]
+
+        coef_delta = (
+            -inv_s2 * km * gx_dot_p
+            - gc * mxi * inv_s2 * inv_s2 * km * p_dot_delta
+        )
+        coef_p = gc * mxi * inv_s2 * km
+        dx = acc
+        new_dx = [
+            dx[dd]
+            + jnp.sum(coef_delta * delta[dd] + coef_p * pj[dd], axis=1,
+                      keepdims=True)
+            for dd in range(d)
+        ]
+        return new_dx
+
+    acc0 = [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)]
+    dx = jax.lax.fori_loop(0, n_j, body, acc0)
+    for dd in range(d):
+        out_ref[dd, :] = dx[dd][:, 0]
+    for r in range(d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _ext_bwd_dqdp_kernel(qblk_ref, x_ref, out_ref, *, sigma, tj, d):
+    """Per q-tile gradients (dq, dp) of the cross terms.
+
+    qblk rows: [q 0..d-1 | p d..2d-1 | mq 2d | gc row 2d+1]
+    x_ref rows: [x 0..d-1 | mx d | gx d+1..2d]
+    out rows: [dq 0..d-1 | dp d..2d-1]
+    """
+    ti = qblk_ref.shape[1]
+    n_total = x_ref.shape[1]
+    n_j = n_total // tj
+    inv_s2 = 1.0 / (sigma * sigma)
+
+    ql = [qblk_ref[dd, :][:, None] for dd in range(d)]
+    pl_ = [qblk_ref[d + dd, :][:, None] for dd in range(d)]
+    mql = qblk_ref[2 * d, :][:, None]
+    gc = qblk_ref[2 * d + 1, 0]
+
+    def body(jt, acc):
+        j0 = jt * tj
+
+        def row(r):
+            return x_ref[r, pl.ds(j0, tj)][None, :]
+
+        xi = [row(dd) for dd in range(d)]
+        mxi = row(d)
+        gxi = [row(d + 1 + dd) * mxi for dd in range(d)]
+        # e = q_l - x_i ;  delta_il = x_i - q_l = -e
+        e = [ql[dd] - xi[dd] for dd in range(d)]
+        d2 = e[0] * e[0]
+        for dd in range(1, d):
+            d2 = d2 + e[dd] * e[dd]
+        k = jnp.exp(-0.5 * d2 * inv_s2)
+
+        gx_dot_pl = gxi[0] * pl_[0]
+        pl_dot_e = pl_[0] * e[0]
+        for dd in range(1, d):
+            gx_dot_pl = gx_dot_pl + gxi[dd] * pl_[dd]
+            pl_dot_e = pl_dot_e + pl_[dd] * e[dd]
+
+        coef_e_dq = (
+            -inv_s2 * k * gx_dot_pl
+            + gc * inv_s2 * inv_s2 * k * mxi * pl_dot_e
+        )
+        sum_kmx = jnp.sum(k * mxi, axis=1, keepdims=True)
+        coef_e_dp = -gc * inv_s2 * k * mxi
+
+        dq, dp = acc
+        new_dq = []
+        new_dp = []
+        for dd in range(d):
+            new_dq.append(
+                dq[dd]
+                + jnp.sum(coef_e_dq * e[dd], axis=1, keepdims=True)
+                - gc * inv_s2 * sum_kmx * pl_[dd]
+            )
+            new_dp.append(
+                dp[dd]
+                + jnp.sum(k * gxi[dd] + coef_e_dp * e[dd], axis=1,
+                          keepdims=True)
+            )
+        return (new_dq, new_dp)
+
+    acc0 = (
+        [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
+        [jnp.zeros((ti, 1), jnp.float32) for _ in range(d)],
+    )
+    dq, dp = jax.lax.fori_loop(0, n_j, body, acc0)
+    for dd in range(d):
+        out_ref[dd, :] = (dq[dd] * mql)[:, 0]
+        out_ref[d + dd, :] = (dp[dd] * mql)[:, 0]
+    for r in range(2 * d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _ext_bwd_pallas(q, p, x, mq, mx, gx, gc, sigma, ti=256, tj=512):
+    """Cross-term gradients (dq, dp, dx) for the ext RHS."""
+    nx, d = x.shape
+    m = q.shape[0]
+    nx_pad = -(-nx // max(ti, tj)) * max(ti, tj)
+    m_pad = -(-m // max(ti, tj)) * max(ti, tj)
+    gc = gc.astype(jnp.float32)
+
+    qpack = jnp.zeros((_ROWS, m_pad), jnp.float32)
+    for i, c in enumerate(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)] + [mq]
+    ):
+        qpack = qpack.at[i, :m].set(c)
+    qpack = qpack.at[2 * d + 1, :].set(gc)
+
+    xpack = jnp.zeros((_ROWS, nx_pad), jnp.float32)
+    for i, c in enumerate(
+        [x[:, dd] for dd in range(d)] + [mx] + [gx[:, dd] for dd in range(d)]
+    ):
+        xpack = xpack.at[i, :nx].set(c)
+
+    dx_out = pl.pallas_call(
+        functools.partial(_ext_bwd_dx_kernel, sigma=float(sigma), tj=tj, d=d),
+        grid=(nx_pad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, nx_pad), jnp.float32),
+        interpret=_interpret(),
+    )(xpack, qpack)
+    dx = dx_out[0:d, :nx].T
+
+    dqdp_out = pl.pallas_call(
+        functools.partial(_ext_bwd_dqdp_kernel, sigma=float(sigma), tj=tj, d=d),
+        grid=(m_pad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, m_pad), jnp.float32),
+        interpret=_interpret(),
+    )(qpack, xpack)
+    dq = dqdp_out[0:d, :m].T
+    dp = dqdp_out[d : 2 * d, :m].T
+    return dq, dp, dx
+
+
 def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
                  ti: int = 256, tj: int = 512):
     """Custom-VJP fused ext-RHS: (vq, -Gq, dcost-at-x, vx).
@@ -451,12 +639,25 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
 
     def bwd(res, cot):
         q, p, x, maskq, maskx = res
-        _, vjp = jax.vjp(
-            lambda q_, p_, x_: reference_impl(q_, p_, x_, maskq, maskx),
-            q, p, x,
+        if eta != 0.0:
+            _, vjp = jax.vjp(
+                lambda q_, p_, x_: reference_impl(q_, p_, x_, maskq, maskx),
+                q, p, x,
+            )
+            dq, dp, dx = vjp(cot)
+            return dq, dp, dx, None, None
+        gv, gg, gc, gx = cot
+        if not withlogdet:
+            gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
+        # support-support terms (vq, mgq): self backward with gc = 0
+        dq1, dp1 = _rhs_self_bwd_pallas(
+            q, p, maskq, gv, gg, jnp.zeros((), q.dtype), sigma, ti, tj
         )
-        dq, dp, dx = vjp(cot)
-        return dq, dp, dx, None, None
+        # cross terms (vx, dc): streamed ext backward
+        dq2, dp2, dx = _ext_bwd_pallas(
+            q, p, x, maskq, maskx, gx, gc, sigma, ti, tj
+        )
+        return dq1 + dq2, dp1 + dp2, dx, None, None
 
     op.defvjp(fwd, bwd)
     return op
