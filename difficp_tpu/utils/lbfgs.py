@@ -96,17 +96,42 @@ def lbfgs_optimize(
         keep = jnp.logical_and(i < nmax, change > tol * jnp.maximum(ref, 1e-30))
         return jnp.logical_or(i == 0, keep)
 
+    state0 = opt.init(p0)
+
     def outer_body(carry):
-        i, params, state, best_p, best_l, change, _ = carry
+        i, params, state, best_p, best_l, change, _, key = carry
         prev = params
         (params, state, best_p, best_l), _ = jax.lax.scan(
             inner_step, (params, state, best_p, best_l), None, length=inner
         )
+        # divergence recovery (reference optim.py:60-97): if the block ends
+        # on a non-finite/aberrant loss, restart from the best-seen params
+        # with a 1%-relative random perturbation and a FRESH optimizer state
+        cur = otu.tree_get(state, "value")
+        diverged = jnp.logical_or(~jnp.isfinite(cur), cur > errthresh)
+        key, sub = jax.random.split(key)
+        rmod = 0.01
+
+        def perturbed(b, k):
+            noise = jax.random.normal(k, b.shape, b.dtype)
+            return b + rmod * jnp.std(b) * noise
+
+        leaves, treedef = jax.tree.flatten(best_p)
+        subkeys = list(jax.random.split(sub, len(leaves)))
+        pert = jax.tree.unflatten(
+            treedef, [perturbed(b, k) for b, k in zip(leaves, subkeys)]
+        )
+        params = jax.tree.map(
+            lambda n, pt: jnp.where(diverged, pt, n), params, pert
+        )
+        state = jax.tree.map(
+            lambda s, s0: jnp.where(diverged, s0, s) if s.shape == s0.shape else s,
+            state, state0,
+        )
         change = _tree_diff_rms(params, prev)
         ref = _rms(prev)
-        return (i + 1, params, state, best_p, best_l, change, ref)
+        return (i + 1, params, state, best_p, best_l, change, ref, key)
 
-    state0 = opt.init(p0)
     l0 = lossfn(p0)
     l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf)
     carry = (
@@ -117,8 +142,9 @@ def lbfgs_optimize(
         l0,
         jnp.asarray(jnp.inf, dtype=jnp.float32),
         jnp.asarray(1.0, dtype=jnp.float32),
+        jax.random.PRNGKey(0),
     )
-    i, params, state, best_p, best_l, change, ref = jax.lax.while_loop(
-        outer_cond, outer_body, carry
+    i, params, state, best_p, best_l, change, ref, _ = jax.lax.while_loop(
+        lambda c: outer_cond(c[:7]), outer_body, carry
     )
     return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change)

@@ -172,3 +172,20 @@ def test_random_p_prior_scale():
     md_half = Q0.shape[0] * Q0.shape[1] / 2
     mean_lh = float(jnp.mean(cfg.lambd * hs))
     assert 0.02 * md_half < mean_lh < 8.0 * md_half
+
+
+def test_lbfgs_divergence_recovery():
+    """A loss that turns NaN away from the origin: the optimizer must
+    return finite best-seen params (reference optim.py:60-97 contract)."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def nasty(p):
+        l = jnp.sum((p - 0.3) ** 2)
+        # NaN cliff away from the start: overshooting line searches diverge
+        return jnp.where(l < 1.0, l, jnp.nan)
+
+    p0 = jnp.zeros((4, 2))  # finite start (l = 0.72), optimum inside the ball
+    res = lbfgs_optimize(nasty, p0, nmax=4, inner=5, tol=1e-6)
+    assert np.isfinite(float(res.loss))
+    assert np.isfinite(np.asarray(res.params)).all()
+    assert float(res.loss) <= float(nasty(p0))
