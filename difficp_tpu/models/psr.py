@@ -166,12 +166,14 @@ def _v_all(lcfg, x, q, p, qmask):
 @partial(
     jax.jit,
     static_argnames=(
-        "gcfgs", "lcfg", "slices", "n_outer", "max_em", "reg_nmax", "use_ext",
+        "gcfgs", "lcfg", "slices", "n_outer", "max_em", "reg_nmax",
+        "reg_inner", "reg_ls", "use_ext",
     ),
 )
 def _run_loop_lddmm(
     gstates, q0, a0, x0, x1, qmask, xmask,
     gcfgs, lcfg, slices, n_outer, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+    reg_inner=20, reg_ls=25,
 ):
     """The whole alternating loop (GMM EM + lockstep registration), fused
     into ONE compiled program: ``n_outer`` iterations of the reference's
@@ -221,6 +223,7 @@ def _run_loop_lddmm(
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
                 xmk if use_ext else None, nmax=reg_nmax, tol=reg_tol,
+                inner=reg_inner, max_linesearch_steps=reg_ls,
             )
             x1k = res.final.x if use_ext else res.final.q
             return res.p0, x1k, res.trajl
@@ -550,7 +553,8 @@ class DiffPSR(MultiPSR):
 
     def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
             reg_nmax: int = 10, reg_tol: float = 1e-3,
-            chunk: Optional[int] = None):
+            chunk: Optional[int] = None, reg_inner: int = 20,
+            reg_ls: int = 25):
         """Fused fast path: run ``n_iters`` full alternations (GMM EM +
         lockstep registration) as ONE compiled device program — zero host
         round trips inside the loop.  Equivalent to calling GMM_opt() +
@@ -575,6 +579,7 @@ class DiffPSR(MultiPSR):
                 self.qmask, self.xmask,
                 tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
                 c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+                reg_inner=reg_inner, reg_ls=reg_ls,
             )
             self.gmm = list(gstates)
             fes_list.append(np.asarray(fes, np.float64))
