@@ -620,6 +620,58 @@ class DiffPSR(MultiPSR):
         return np.asarray(traj.q)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("gcfgs", "acfg", "slices", "n_outer", "max_em"),
+)
+def _run_loop_affine(
+    gstates, x0, x1, xmask, gcfgs, acfg, slices, n_outer, max_em, em_tol,
+):
+    """Fused affine alternating loop: n_outer iterations of (GMM EM +
+    closed-form per-frame affine fits) in one compiled program."""
+    k = x0.shape[0]
+
+    def gmm_pass(gstates, x1):
+        ys, ptws, cfes, new_states = [], [], [], []
+        for s, (lo, hi) in enumerate(slices):
+            xs = x1[:, lo:hi]
+            ms = xmask[:, lo:hi]
+            opt = gmm_mod.em_optimization(
+                gstates[s], xs.reshape(-1, xs.shape[-1]), ms.reshape(-1),
+                gcfgs[s], max_iterations=max_em, tol=em_tol,
+            )
+            new_states.append(opt.state)
+            ys.append(opt.y.reshape(xs.shape))
+            ptws.append(opt.gamt.reshape(ms.shape))
+            cfes.append(opt.cfe)
+        return tuple(new_states), jnp.concatenate(ys, axis=1), \
+            jnp.concatenate(ptws, axis=1), jnp.stack(cfes)
+
+    def sig2_of(gstates):
+        segs = [
+            jnp.broadcast_to(gstates[s].sigma ** 2, (k, hi - lo))
+            for s, (lo, hi) in enumerate(slices)
+        ]
+        return jnp.concatenate(segs, axis=1)
+
+    def outer(carry, _):
+        gstates, x1 = carry
+        gstates, y, ptw, cfes = gmm_pass(gstates, x1)
+        sig2 = sig2_of(gstates)
+        z = ptw / (2.0 * sig2)
+        m, t, tx, datal, regl = _reg_opt_affine(acfg, x0, y, z, ptw, xmask)
+        quad = jnp.sum(
+            (xmask * ptw)[..., None] * (tx - y) ** 2 / (2.0 * sig2[..., None])
+        )
+        fe = jnp.sum(cfes) + jnp.sum(regl) + quad
+        return (gstates, tx), (fe, m, t, regl)
+
+    (gstates, x1), (fes, ms, ts, regls) = jax.lax.scan(
+        outer, (tuple(gstates), x1), None, length=n_outer
+    )
+    return gstates, x1, fes, ms[-1], ts[-1], regls[-1]
+
+
 class AffinePSR(MultiPSR):
     """MultiPSR with affine registrations (PSR.py:578-653)."""
 
@@ -649,6 +701,31 @@ class AffinePSR(MultiPSR):
         else:
             msg = None
         self.update_FE(message=msg)
+
+    def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
+            **_):
+        """Fused fast path for the affine variant (mirrors DiffPSR.run)."""
+        gstates, x1, fes, m, t, regl = _run_loop_affine(
+            tuple(self.gmm), self.x0, self.x1, self.xmask,
+            tuple(self.gmm_cfg), self.acfg, tuple(self.slices),
+            n_iters, max_em, em_tol,
+        )
+        self.gmm = list(gstates)
+        self.x1 = x1
+        self.M, self.t = m, t
+        self.regloss = regl
+        fes_host = np.asarray(fes, np.float64)
+        inc = int(np.sum(np.diff(fes_host) > 1e-4 * np.abs(fes_host[:-1]) + 1e-6))
+        if self.FE is not None and fes_host[0] > self.FE + 1e-4 * abs(self.FE):
+            inc += 1
+        if inc and self.printstuff:
+            print("WARNING: measured increase in free energy ! Should not happen.")
+        self.fe_increase_events += inc
+        self.FE = float(fes_host[-1])
+        keep, self.printstuff = self.printstuff, False
+        self.update_GMM_targets()
+        self.printstuff = keep
+        return fes_host
 
     def Registration(self, k=0) -> AffineRegistration:
         return AffineRegistration(cfg=self.acfg, m=self.M[k], t=self.t[k])

@@ -214,3 +214,30 @@ def test_standard_two_set_similarity_expm():
     # recovered M ~ (1/1.2) rot^{-1}: orthogonal direction + scale < 1
     scale = np.sqrt(np.abs(np.linalg.det(m)))
     assert 0.6 < scale < 1.05
+
+
+def test_affine_fused_run_matches_stepwise():
+    from difficp_tpu.models import gmm as gmm_mod
+    from difficp_tpu.models import affine as affine_mod
+    from difficp_tpu.models.psr import AffinePSR
+    import jax.numpy as jnp
+
+    def build():
+        state, cfg = gmm_mod.create(jnp.asarray(SPIRAL["mu0"]), sigma=0.1)
+        cfg = cfg._replace(optimize_mu=True, optimize_w=True)
+        acfg = affine_mod.AffineConfig(version="similarity", withlogdet=True)
+        psr = AffinePSR([SPIRAL[f"x{k}"] for k in range(3)], state, cfg, acfg)
+        psr.printstuff = False
+        return psr
+
+    a = build()
+    for _ in range(4):
+        a.GMM_opt(max_iterations=10, tol=1e-3)
+        a.Reg_opt()
+    b = build()
+    fes = b.run(4, max_em=10, em_tol=1e-3)
+    assert len(fes) == 4
+    assert b.fe_increase_events == 0
+    assert abs(b.FE - a.FE) < 5e-3 * abs(a.FE), (b.FE, a.FE)
+    np.testing.assert_allclose(np.asarray(b.M), np.asarray(a.M), rtol=1e-3,
+                               atol=1e-4)
