@@ -89,8 +89,8 @@ def bench_atlas(k=10, n=16384, n_iter=3):
         # short registration programs: the axon runtime kills device
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=6)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=6)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4)
 
     t0 = time.time()
     one_iter()

@@ -31,7 +31,7 @@ def spiral_cloud(n, rng, noise=0.02):
     return pts.astype(np.float32)
 
 
-def main(n_points=131072, n_iter=3, c_gmm=64, inner=1, ls_steps=6):
+def main(n_points=131072, n_iter=3, c_gmm=64, inner=2, ls_steps=25):
     rng = np.random.default_rng(0)
     x_a = spiral_cloud(n_points, rng)
     # target: a warped copy (smooth sinusoidal deformation)
@@ -54,7 +54,10 @@ def main(n_points=131072, n_iter=3, c_gmm=64, inner=1, ls_steps=6):
         t0 = time.time()
         psr.GMM_opt(max_iterations=10, tol=1e-3)
         # several short registration programs per outer iteration
-        for _ in range(4):
+        # (inner kept small for the watchdog; full-depth line search — the
+        # first step of each program needs many zoom evals against raw-sum
+        # gradient scales, later steps reuse the accepted step)
+        for _ in range(2):
             psr.Reg_opt(tol=1e-3, nmax=1, inner=inner, ls_steps=ls_steps)
         print(f"iter {it}: {time.time() - t0:.1f}s FE={psr.FE:.1f}")
     return psr
@@ -64,6 +67,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--inner", type=int, default=1)
+    ap.add_argument("--inner", type=int, default=2)
     args = ap.parse_args()
     main(n_points=args.points, n_iter=args.iters, inner=args.inner)
