@@ -74,7 +74,7 @@ def optimize(cfg: AffineConfig, x, y, z, w=None, mask=None) -> AffineFit:
         xc, yc = x, y
 
     # E = Tr(A M' M) - 2 Tr(B' M) - c log|M| + const  (affine.py:108-111)
-    b = yc.T @ (z[:, None] * xc)
+    b = jnp.matmul(yc.T, z[:, None] * xc, precision="highest")
     c = jnp.sum(w)
     eye = jnp.eye(d, dtype=dtype)
 
@@ -93,7 +93,7 @@ def optimize(cfg: AffineConfig, x, y, z, w=None, mask=None) -> AffineFit:
                 lam = tr_br / tr_a
             m = lam * r
     elif cfg.version == "general_affine":
-        a = xc.T @ (z[:, None] * xc)
+        a = jnp.matmul(xc.T, z[:, None] * xc, precision="highest")
         if not cfg.withlogdet:
             # M = B A^{-1}
             m = jnp.linalg.solve(a.T, b.T).T
@@ -118,7 +118,7 @@ def optimize(cfg: AffineConfig, x, y, z, w=None, mask=None) -> AffineFit:
     else:
         t = jnp.zeros((d,), dtype)
 
-    tx = x @ m.T + t[None, :]
+    tx = jnp.matmul(x, m.T, precision="highest") + t[None, :]
     resid = ((y - tx) ** 2).sum(-1) * z
     datal = jnp.sum(resid)
     regl = regloss(cfg, m, w)
@@ -127,7 +127,7 @@ def optimize(cfg: AffineConfig, x, y, z, w=None, mask=None) -> AffineFit:
 
 def apply(m, t, x):
     """T(X) = X M' + t'."""
-    return x @ m.T + t[None, :]
+    return jnp.matmul(x, m.T, precision="highest") + t[None, :]
 
 
 def backward(m, t, y):

@@ -176,7 +176,7 @@ def _m_stats(e: EStepOut, x, mask) -> MStats:
     gm = e.gam * mask[:, None]
     return MStats(
         s_gam=jnp.sum(gm, axis=0),
-        s_gx=gm.T @ x,
+        s_gx=jnp.matmul(gm.T, x, precision="highest"),
         s_gd2=jnp.sum(gm * e.d2),
         s_g0=jnp.sum(mask * jnp.exp(e.lgam0)),
         s_gt=jnp.sum(mask * e.gamt),
@@ -213,7 +213,7 @@ def _em_values(new: GMMState, old: GMMState, e: EStepOut, x, mask,
     """Quadratic targets Y and local Cfe / quad sums with updated parameters
     (GMM.py:301-323 / 462-496)."""
     d = x.shape[1]
-    y = e.gam @ new.mu
+    y = jnp.matmul(e.gam, new.mu, precision="highest")
     lpi = new.w - jax.scipy.special.logsumexp(new.w)
     log_norm_new = _log_gauss_norm(new.sigma, d)
     mu_sq = jnp.sum(new.mu**2, axis=-1)

@@ -53,7 +53,7 @@ def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None):
     def ksum(a, b, wa, wb):
         d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
         k = jnp.exp(-d2 / (2.0 * sigma**2))
-        return jnp.einsum("i,ij,j->", wa, k, wb)
+        return jnp.einsum("i,ij,j->", wa, k, wb, precision="highest")
 
     wx = (mask_x if mask_x is not None else jnp.ones(x.shape[0], x.dtype)) / nx
     if w is None:
