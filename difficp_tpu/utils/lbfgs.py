@@ -132,8 +132,18 @@ def lbfgs_optimize(
         ref = _rms(prev)
         return (i + 1, params, state, best_p, best_l, change, ref, key)
 
-    l0 = lossfn(p0)
+    l0, g0 = jax.value_and_grad(lossfn)(p0)
     l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf)
+    # Seed the first line search at ~1/||g0|| (classical first-step heuristic).
+    # The objective is a raw sum over points (reference convention), so the
+    # first gradient can be huge; starting the zoom at step 1.0 would burn
+    # its whole evaluation budget shrinking.  Subsequent steps reuse the
+    # previously accepted step ('keep' strategy).
+    g0_norm = _rms(g0) * jnp.sqrt(
+        jnp.asarray(float(sum(a.size for a in jax.tree.leaves(g0))), l0.dtype)
+    )
+    alpha0 = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
+    state0 = otu.tree_set(state0, learning_rate=alpha0.astype(jnp.float32))
     carry = (
         jnp.asarray(0),
         p0,
