@@ -31,7 +31,10 @@ def spiral_cloud(n, rng, noise=0.02):
     return pts.astype(np.float32)
 
 
-def main(n_points=131072, n_iter=3, c_gmm=64, inner=2, ls_steps=25):
+def main(n_points=131072, n_iter=3, c_gmm=64, inner=None, ls_steps=25):
+    if inner is None:
+        # keep each registration program safely under execution watchdogs
+        inner = 1 if n_points > 100_000 else 2
     rng = np.random.default_rng(0)
     x_a = spiral_cloud(n_points, rng)
     # target: a warped copy (smooth sinusoidal deformation)
@@ -67,6 +70,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--inner", type=int, default=2)
+    ap.add_argument("--inner", type=int, default=None)
     args = ap.parse_args()
     main(n_points=args.points, n_iter=args.iters, inner=args.inner)
