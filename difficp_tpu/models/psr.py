@@ -182,7 +182,6 @@ def _run_loop_lddmm(
     check the monotonicity oracle and convergence afterwards).
     """
     k = x0.shape[0]
-    n_s = len(slices)
 
     def gmm_pass(gstates, x1):
         ys, ptws, cfes = [], [], []
