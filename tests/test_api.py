@@ -241,3 +241,57 @@ def test_affine_fused_run_matches_stepwise():
     assert abs(b.FE - a.FE) < 5e-3 * abs(a.FE), (b.FE, a.FE)
     np.testing.assert_allclose(np.asarray(b.M), np.asarray(a.M), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_standard_two_set_grid_support():
+    psr, _ = standard_two_set(
+        X0, X1,
+        model_parameters={"type": "diffeomorphic", "sigma_data": 0.1,
+                          "noise_std": 0.2, "sigma_LDDMM": 0.2},
+        numerical_options={"support_LDDMM": {"scheme": "grid", "rho": 1.2}},
+        optim_options={"max_iterations": 3, "convergence_tolerance": 1e-4,
+                       "nmax_per_iter": 3},
+        printstuff=False,
+    )
+    assert psr.support_scheme == "grid"
+    assert psr.e_increase_events == 0
+
+
+def test_atlas_ensure_continuum():
+    x = [SPIRAL[f"x{k}"] for k in range(3)]
+    psr, _ = icp_atlas(
+        x,
+        GMM_parameters={"init_components": 12, "ensure_continuum": True},
+        registration_parameters={"type": "diffeomorphic",
+                                 "lambda_LDDMM": 500.0, "sigma_LDDMM": 0.2},
+        optim_options={"max_iterations": 2, "convergence_tolerance": 1e-4,
+                       "max_repeat_GMM": 5},
+        printstuff=False,
+    )
+    # sigma is floored at the centroids' intrinsic scale
+    from difficp_tpu.utils.point_sets import intrinsic_scale
+
+    intr = intrinsic_scale(np.asarray(psr.gmm[0].mu))
+    assert float(psr.gmm[0].sigma) >= 0.99 * intr
+
+
+def test_affine_checkpoint_roundtrip(tmp_path):
+    from difficp_tpu.models import gmm as gmm_mod
+    from difficp_tpu.models import affine as affine_mod
+    from difficp_tpu.models.psr import AffinePSR
+    from difficp_tpu.utils.checkpoint import load_psr, save_psr
+    import jax.numpy as jnp
+
+    state, cfg = gmm_mod.create(jnp.asarray(SPIRAL["mu0"]), sigma=0.1)
+    acfg = affine_mod.AffineConfig(version="rigid")
+    psr = AffinePSR([X0, X1], state, cfg, acfg)
+    psr.printstuff = False
+    psr.GMM_opt(max_iterations=3, tol=1e-3)
+    psr.Reg_opt()
+    f = str(tmp_path / "aff.npy")
+    save_psr(f, psr)
+    psr2 = AffinePSR([X0, X1], state, cfg, acfg)
+    psr2.printstuff = False
+    load_psr(f, psr2)
+    np.testing.assert_allclose(np.asarray(psr2.M), np.asarray(psr.M))
+    assert abs(psr2.FE - psr.FE) < 1e-9
