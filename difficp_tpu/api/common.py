@@ -11,8 +11,17 @@ import numpy as np
 from difficp_tpu.models import affine as affine_mod
 from difficp_tpu.models import gmm as gmm_mod
 from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.ops import backend as backend_mod
 
 ALLOWED_REG_TYPES = ("rigid", "similarity", "general_affine", "diffeomorphic")
+
+# computversion values: ours + the reference's spelling (kernel.py:91-110)
+_COMPUTVERSION_MAP = {
+    "auto": None, None: None,
+    "dense": "dense", "torch": "dense",
+    "blockwise": "blockwise", "keops": "blockwise",
+    "pallas": "pallas",
+}
 
 DEFAULT_SUPPORT_SCHEME = {"scheme": "grid", "rho": 1.0}
 
@@ -28,11 +37,27 @@ def default_numerical_options(numerical_options: Optional[dict]) -> dict:
     (ICP_two_set.py:145-153)."""
     opts = dict(numerical_options or {})
     set_default(opts, "support_LDDMM", dict(DEFAULT_SUPPORT_SCHEME))
-    set_default(opts, "computversion", "pallas")  # "pallas" (tiled) or "dense"
+    # "auto" = size-based dispatch (dense below DENSE_PAIR_LIMIT, then
+    # pallas on TPU / blockwise elsewhere); explicit values force one
+    # backend — the reference's set_computversion contract (kernel.py:91-110,
+    # "torch"/"keops" accepted as aliases).
+    set_default(opts, "computversion", "auto")
     set_default(opts, "gradcomponent_LDDMM", False)
     set_default(opts, "integration_scheme_LDDMM", "Euler")
     set_default(opts, "integration_nt_LDDMM", 10)
+    apply_computversion(opts["computversion"])
     return opts
+
+
+def apply_computversion(value):
+    """Route the api 'computversion' key to the global backend switch
+    (the reference's set_computversion, kernel.py:91-110)."""
+    if value not in _COMPUTVERSION_MAP:
+        raise ValueError(
+            f"computversion={value!r}: expected one of "
+            f"{sorted(str(k) for k in _COMPUTVERSION_MAP)}"
+        )
+    backend_mod.set_backend(_COMPUTVERSION_MAP[value])
 
 
 def default_optim_options(optim_options: Optional[dict]) -> dict:

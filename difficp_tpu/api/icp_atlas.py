@@ -145,9 +145,17 @@ def icp_atlas(
                             registration_parameters["sigma_LDDMM"],
                         )
                     )
-                except Exception:
+                except Exception as e:
+                    if printstuff:
+                        print(f"    calibration pair {i} failed: {e!r}")
                     continue
-            lams = np.asarray([l for l in lams if np.isfinite(l)])
+            lams = np.asarray([l for l in lams if np.isfinite(l) and l > 0])
+            if lams.size == 0:
+                raise RuntimeError(
+                    "lambda_LDDMM='auto' calibration failed on every frame "
+                    "pair (all NaN/non-positive/raised). Pass an explicit "
+                    "lambda_LDDMM value."
+                )
             lam = float(1.0 / np.mean(1.0 / lams))  # harmonic mean
             if printstuff:
                 print(f"    lambda_LDDMM = {lam}")

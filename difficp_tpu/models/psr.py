@@ -379,6 +379,7 @@ class MultiPSR:
         """Ad hoc re-initialization adapted to upcoming EM (PSR.py:143-167)."""
         rng = np.random.default_rng(seed)
         slist = range(self.S) if s is None else [s]
+        changed = False
         for si in slist:
             pf = self.structs[si]
             pts = np.concatenate([pf.unpad(k) for k in range(self.K)], axis=0)
@@ -388,13 +389,19 @@ class MultiPSR:
                     (g.mu.shape[0], self.D)
                 ).astype(np.float32)
                 g = g._replace(mu=jnp.asarray(mu))
+                changed = True
             if do_sigma and self.gmm_cfg[si].optimize_sigma:
                 g = g._replace(sigma=jnp.asarray(0.25 * pts.std(), jnp.float32))
+                changed = True
             self.gmm[si] = g
-        # a re-initialization starts a fresh descent: reset the monotone-FE
-        # tracker so the (legitimate) jump is not flagged
-        self.FE = None
-        self.update_GMM_targets()
+        if changed:
+            # a re-initialization starts a fresh descent: reset the
+            # monotone-FE tracker so the (legitimate) jump is not flagged
+            self.FE = None
+            self.update_GMM_targets()
+        # no parameter was touched (e.g. do_mu=do_sigma=False): keep the
+        # oracle armed — resetting it here would blind the monotonicity check
+        # across the first alternation of every atlas run
 
     # ----- free energy ----------------------------------------------------
 
@@ -566,6 +573,8 @@ class DiffPSR(MultiPSR):
 
         :return: per-iteration free-energy sequence (numpy array).
         """
+        if n_iters <= 0:
+            return np.zeros((0,), np.float64)
         use_ext = self.support_scheme is not None
         chunk = n_iters if chunk is None else max(1, min(chunk, n_iters))
         fes_list = []
@@ -704,6 +713,8 @@ class AffinePSR(MultiPSR):
     def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
             **_):
         """Fused fast path for the affine variant (mirrors DiffPSR.run)."""
+        if n_iters <= 0:
+            return np.zeros((0,), np.float64)
         gstates, x1, fes, m, t, regl = _run_loop_affine(
             tuple(self.gmm), self.x0, self.x1, self.xmask,
             tuple(self.gmm_cfg), self.acfg, tuple(self.slices),

@@ -61,7 +61,8 @@ def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
             cb = p[:, None, :] - pjt[None, :, :]
             proj = jnp.sum(diff * cb, axis=-1)
             hess = jnp.einsum(
-                "mt,mtd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2
+                "mt,mtd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2,
+                precision="highest",
             )
             coef = k * (d2 / sigma**6 - (d + 2) / sigma**4)
             glap = jnp.einsum("mt,mtd->md", coef, -diff, precision="highest")
@@ -163,3 +164,79 @@ def v_field(x, q, p, sigma, eta, mask_q=None, tile=1024):
         sigma, eta, False, tile,
     )
     return vx
+
+
+# ---------------------------------------------------------------------------
+# Tiled nearest-neighbour reductions (the KeOps Kmin/Kmin(2) role:
+# reference kernel.py:324-328, point_sets.py:23-25) — running min / top-2
+# over streamed j-tiles, O(M + N) memory.
+# ---------------------------------------------------------------------------
+
+
+def min_sqdist(x, y, mask_y=None, tile=2048):
+    """Blockwise min_j |x_i - y_j|^2 (masked y excluded); never materializes
+    the (M, N) distance matrix."""
+    nx, d = x.shape
+    n = y.shape[0]
+    nt = _tiles(n, tile)
+    npad = nt * tile
+    yj = _pad_to(y, npad).reshape(nt, tile, d)
+    my = mask_y if mask_y is not None else jnp.ones((n,), x.dtype)
+    mj = _pad_to(my, npad).reshape(nt, tile)  # zero-padded -> excluded
+
+    def body(acc, tile_in):
+        yjt, mjt = tile_in
+        d2 = jnp.sum((x[:, None, :] - yjt[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(mjt[None, :] > 0, d2, jnp.inf)
+        return jnp.minimum(acc, jnp.min(d2, axis=1)), None
+
+    acc0 = jnp.full((nx,), jnp.inf, x.dtype)
+    out, _ = jax.lax.scan(body, acc0, (yj, mj))
+    return out
+
+
+def _top2_scan(x, y, mask_y, tile, self_indices):
+    """Running (min1, min2) of masked |x_i - y_j|^2 over j-tiles.
+
+    ``self_indices``: optional (M,) row indices; when given, the pair
+    (i, j == self_indices_i) is excluded (Kmin(2) self mode).
+    """
+    nx, d = x.shape
+    n = y.shape[0]
+    nt = _tiles(n, tile)
+    npad = nt * tile
+    yj = _pad_to(y, npad).reshape(nt, tile, d)
+    mj = _pad_to(mask_y, npad).reshape(nt, tile)
+    jidx = jnp.arange(npad, dtype=jnp.int32).reshape(nt, tile)
+
+    def body(acc, tile_in):
+        a1, a2 = acc
+        yjt, mjt, jt = tile_in
+        d2 = jnp.sum((x[:, None, :] - yjt[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(mjt[None, :] > 0, d2, jnp.inf)
+        if self_indices is not None:
+            d2 = jnp.where(
+                jt[None, :] == self_indices[:, None], jnp.inf, d2
+            )
+        # tile top-2 by index-stable top_k on the negated distances
+        t = -jax.lax.top_k(-d2, 2)[0]  # (M, 2) ascending
+        merged = jnp.sort(
+            jnp.stack([a1, a2, t[:, 0], t[:, 1]], axis=1), axis=1
+        )
+        return (merged[:, 0], merged[:, 1]), None
+
+    acc0 = (
+        jnp.full((nx,), jnp.inf, x.dtype),
+        jnp.full((nx,), jnp.inf, x.dtype),
+    )
+    (m1, m2), _ = jax.lax.scan(body, acc0, (yj, mj, jidx))
+    return m1, m2
+
+
+def second_min_sqdist(x, mask=None, tile=2048):
+    """Blockwise nearest-neighbour (excluding self) squared distance —
+    the KeOps Kmin(2) of reference point_sets.py:23-25."""
+    m = mask if mask is not None else jnp.ones((x.shape[0],), x.dtype)
+    idx = jnp.arange(x.shape[0], dtype=jnp.int32)
+    _, m2 = _top2_scan(x, x, m, tile, idx)
+    return m2

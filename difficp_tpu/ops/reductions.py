@@ -196,7 +196,7 @@ def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None):
     sig2 = sigma**2
 
     vq = jnp.matmul(k, p, precision="highest")
-    dots = p @ p.T  # (M,M) p_i . p_j
+    dots = jnp.matmul(p, p.T, precision="highest")  # (M,M) p_i . p_j
     gq = jnp.einsum("mn,mnd->md", k * dots, -diff, precision="highest") / sig2
 
     if eta != 0.0:

@@ -107,12 +107,16 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
     outer loop (ICP_atlas.py:269-298), fully on-device.
     """
 
-    def reg_local(gstate, q0l, a0l, x0l, yl, qml, xml):
+    def reg_local(gstate, q0l, a0l, x0l, yl, qml, xml, ptwl):
         sig2 = gstate.sigma ** 2
 
-        def one(q0k, a0k, x0k, yk, qmk, xmk):
+        def one(q0k, a0k, x0k, yk, qmk, xmk, wk):
             def dataloss(pts):
-                return jnp.sum(xmk[:, None] * (pts - yk) ** 2 / (2.0 * sig2))
+                # gammaT inlier weight, matching the single-device quadloss
+                # (models/psr.py _quadloss; GMM.py:323)
+                return jnp.sum(
+                    (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2)
+                )
 
             res = lddmm_mod.optimize(
                 lcfg, dataloss, q0k, a0k,
@@ -122,7 +126,7 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
             x1k = res.final.x if use_ext else res.final.q
             return res.p0, x1k, res.trajl, res.datal
 
-        return jax.vmap(one)(q0l, a0l, x0l, yl, qml, xml)
+        return jax.vmap(one)(q0l, a0l, x0l, yl, qml, xml, ptwl)
 
     def em_local(gstate, x1l, xml):
         k_loc, n, d = x1l.shape
@@ -139,13 +143,16 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
             gstate, x1l.reshape(k_loc * n, d), xml.reshape(k_loc * n), gcfg,
             skip_m=True, axis_name=axis,
         )
-        return out.state, out.y.reshape(k_loc, n, d), out.cfe, out.fe
+        return (
+            out.state, out.y.reshape(k_loc, n, d), out.cfe,
+            out.gamt.reshape(k_loc, n),
+        )
 
     def step(gstate, q0, a0, x0, x1, qmask, xmask):
         def local(gstate, q0l, a0l, x0l, x1l, qml, xml):
-            gstate, yl, cfe, _ = em_local(gstate, x1l, xml)
+            gstate, yl, cfe, ptwl = em_local(gstate, x1l, xml)
             a0l, x1l, trajl, datal = reg_local(
-                gstate, q0l, a0l, x0l, yl, qml, xml
+                gstate, q0l, a0l, x0l, yl, qml, xml, ptwl
             )
             quad = jax.lax.psum(jnp.sum(datal), axis)
             regl = jax.lax.psum(jnp.sum(trajl), axis)

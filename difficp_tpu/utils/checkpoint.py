@@ -46,51 +46,75 @@ def load_leaves(path: str):
 
 def save_psr(path: str, psr):
     """Checkpoint the dynamic state of a PSR object (GMM params, momenta /
-    affine params, warped points, bookkeeping)."""
+    affine params, warped points, bookkeeping).
+
+    Pickle-free: plain arrays in one .npz plus a JSON header (kind, Cfe, FE)
+    — no arbitrary-code-on-load trust surface, unlike the reference's pickle
+    checkpoints (spec.py:46-61)."""
     from difficp_tpu.models.psr import AffinePSR, DiffPSR
 
-    state = {
-        "gmm": [tuple(np.asarray(v) for v in g) for g in psr.gmm],
+    arrays = {
         "x1": np.asarray(psr.x1),
         "y": np.asarray(psr.y),
         "ptw": np.asarray(psr.ptw),
+        "regloss": np.asarray(psr.regloss),
+        "quadloss": np.asarray(psr.quadloss),
+    }
+    for s, g in enumerate(psr.gmm):
+        for name, v in zip(g._fields, g):
+            arrays[f"gmm{s}_{name}"] = np.asarray(v)
+    if isinstance(psr, DiffPSR):
+        kind = "diff"
+        arrays["a0"] = np.asarray(psr.a0)
+        arrays["q0"] = np.asarray(psr.q0)
+        arrays["qmask"] = np.asarray(psr.qmask)
+    elif isinstance(psr, AffinePSR):
+        kind = "affine"
+        arrays["M"] = np.asarray(psr.M)
+        arrays["t"] = np.asarray(psr.t)
+    else:
+        raise TypeError(f"unsupported PSR type: {type(psr)!r}")
+    header = {
+        "kind": kind,
+        "n_gmm": len(psr.gmm),
+        "gmm_fields": list(psr.gmm[0]._fields),
         "Cfe": [float(c) for c in psr.Cfe],
-        "regloss": np.asarray(psr.regloss).tolist(),
-        "quadloss": np.asarray(psr.quadloss).tolist(),
         "FE": psr.FE,
     }
-    if isinstance(psr, DiffPSR):
-        state["a0"] = np.asarray(psr.a0)
-        state["q0"] = np.asarray(psr.q0)
-        state["qmask"] = np.asarray(psr.qmask)
-        state["kind"] = "diff"
-    elif isinstance(psr, AffinePSR):
-        state["M"] = np.asarray(psr.M)
-        state["t"] = np.asarray(psr.t)
-        state["kind"] = "affine"
-    np.save(path, np.asarray([state], dtype=object), allow_pickle=True)
+    arrays["__header__"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
 
 
 def load_psr(path: str, psr):
     """Restore a checkpoint into a freshly-constructed PSR of the same
     configuration (data/configs are reproducible; only dynamic state is
     stored)."""
-    state = np.load(path, allow_pickle=True)[0]
     from difficp_tpu.models import gmm as gmm_mod
 
-    psr.gmm = [gmm_mod.GMMState(*map(jnp.asarray, g)) for g in state["gmm"]]
-    psr.x1 = jnp.asarray(state["x1"])
-    psr.y = jnp.asarray(state["y"])
-    psr.ptw = jnp.asarray(state["ptw"])
-    psr.Cfe = [jnp.asarray(c) for c in state["Cfe"]]
-    psr.regloss = jnp.asarray(state["regloss"], jnp.float32)
-    psr.quadloss = jnp.asarray(state["quadloss"], jnp.float32)
-    psr.FE = state["FE"]
-    if state["kind"] == "diff":
-        psr.a0 = jnp.asarray(state["a0"])
-        psr.q0 = jnp.asarray(state["q0"])
-        psr.qmask = jnp.asarray(state["qmask"])
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    hdr = json.loads(bytes(data["__header__"].tobytes()).decode())
+    psr.gmm = [
+        gmm_mod.GMMState(
+            *(jnp.asarray(data[f"gmm{s}_{name}"]) for name in hdr["gmm_fields"])
+        )
+        for s in range(hdr["n_gmm"])
+    ]
+    psr.x1 = jnp.asarray(data["x1"])
+    psr.y = jnp.asarray(data["y"])
+    psr.ptw = jnp.asarray(data["ptw"])
+    psr.Cfe = [jnp.asarray(c, jnp.float32) for c in hdr["Cfe"]]
+    psr.regloss = jnp.asarray(data["regloss"], jnp.float32)
+    psr.quadloss = jnp.asarray(data["quadloss"], jnp.float32)
+    psr.FE = hdr["FE"]
+    if hdr["kind"] == "diff":
+        psr.a0 = jnp.asarray(data["a0"])
+        psr.q0 = jnp.asarray(data["q0"])
+        psr.qmask = jnp.asarray(data["qmask"])
     else:
-        psr.M = jnp.asarray(state["M"])
-        psr.t = jnp.asarray(state["t"])
+        psr.M = jnp.asarray(data["M"])
+        psr.t = jnp.asarray(data["t"])
     return psr
