@@ -240,30 +240,8 @@ def _em_values(new: GMMState, old: GMMState, e: EStepOut, x, mask,
     return y, cfe_local, quad_local
 
 
-def em_step(
-    state: GMMState,
-    x: jax.Array,
-    mask: Optional[jax.Array],
-    cfg: GMMConfig,
-    skip_m: bool = False,
-    axis_name: Optional[str] = None,
-) -> EMStepOut:
-    """One (E step, M step) alternation + EM values Y / Cfe / FE.
-
-    Exact formula-for-formula port of the reference EM (GMM.py:236-325 for
-    the math; post-M values use the *updated* parameters as in the keops
-    variant GMM.py:462-496).  ``skip_m=True`` computes values only
-    (GMM.py:247: used to initialize targets without touching parameters).
-
-    With ``axis_name`` (inside ``shard_map``/``pmap``), ``x``/``mask`` are
-    the local shard and the M-step sufficient statistics and energy sums are
-    ``psum``-reduced across devices — the distributed EM of SURVEY §3.3.
-    Every device ends with identical parameters.
-    """
-    if mask is None:
-        mask = jnp.ones((x.shape[0],), x.dtype)
+def _em_step_dense(state, x, mask, cfg, skip_m, axis_name):
     d = x.shape[1]
-
     e = _e_step(state, x, mask, cfg)
 
     if skip_m:
@@ -284,6 +262,107 @@ def em_step(
     return EMStepOut(
         state=new, y=y, cfe=cfe_local, fe=cfe_local + quad_local, gamt=e.gamt
     )
+
+
+def _em_step_tiled(state, x, mask, cfg, skip_m, axis_name, tile):
+    """EM step streamed over point tiles — the KeOps symbolic-E-step role
+    (reference GMM.py:402-428): the (N, C) responsibility matrix is never
+    materialized, only (tile, C) blocks inside a ``lax.scan``.
+
+    Two passes: (1) accumulate the M-step sufficient statistics with the old
+    parameters; (2) recompute the E-step per tile and emit targets / energy
+    terms with the updated parameters (recompute trades FLOPs for O(N*C)
+    memory — the flash-softmax discipline).  Components C stay resident
+    (C is small; SURVEY §5: replicate C).
+    """
+    n, d = x.shape
+    nt = -(-n // tile)
+    npad = nt * tile
+    pad = npad - n
+    xt = jnp.pad(x, ((0, pad), (0, 0))).reshape(nt, tile, d)
+    mt = jnp.pad(mask, (0, pad)).reshape(nt, tile)
+
+    if skip_m:
+        new = state
+    else:
+        c = state.mu.shape[0]
+        zero_stats = MStats(
+            s_gam=jnp.zeros((c,), x.dtype),
+            s_gx=jnp.zeros((c, d), x.dtype),
+            s_gd2=jnp.zeros((), x.dtype),
+            s_g0=jnp.zeros((), x.dtype),
+            s_gt=jnp.zeros((), x.dtype),
+            n_eff=jnp.zeros((), x.dtype),
+        )
+
+        def stat_body(acc, tin):
+            xti, mti = tin
+            e = _e_step(state, xti, mti, cfg)
+            s = _m_stats(e, xti, mti)
+            return jax.tree.map(jnp.add, acc, s), None
+
+        stats, _ = jax.lax.scan(stat_body, zero_stats, (xt, mt))
+        if axis_name is not None:
+            stats = jax.lax.psum(stats, axis_name)
+        new = _apply_stats(state, stats, cfg, d)
+
+    def val_body(carry, tin):
+        cfe, quad = carry
+        xti, mti = tin
+        e = _e_step(state, xti, mti, cfg)
+        y, cfe_l, quad_l = _em_values(new, state, e, xti, mti, cfg)
+        return (cfe + cfe_l, quad + quad_l), (y, e.gamt)
+
+    zero = jnp.zeros((), x.dtype)
+    (cfe_local, quad_local), (ys, gamts) = jax.lax.scan(
+        val_body, (zero, zero), (xt, mt)
+    )
+    y = ys.reshape(npad, d)[:n]
+    gamt = gamts.reshape(npad)[:n]
+    if axis_name is not None:
+        cfe_local = jax.lax.psum(cfe_local, axis_name)
+        quad_local = jax.lax.psum(quad_local, axis_name)
+    return EMStepOut(
+        state=new, y=y, cfe=cfe_local, fe=cfe_local + quad_local, gamt=gamt
+    )
+
+
+def em_step(
+    state: GMMState,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    cfg: GMMConfig,
+    skip_m: bool = False,
+    axis_name: Optional[str] = None,
+    tile: Optional[int] = None,
+) -> EMStepOut:
+    """One (E step, M step) alternation + EM values Y / Cfe / FE.
+
+    Exact formula-for-formula port of the reference EM (GMM.py:236-325 for
+    the math; post-M values use the *updated* parameters as in the keops
+    variant GMM.py:462-496).  ``skip_m=True`` computes values only
+    (GMM.py:247: used to initialize targets without touching parameters).
+
+    With ``axis_name`` (inside ``shard_map``/``pmap``), ``x``/``mask`` are
+    the local shard and the M-step sufficient statistics and energy sums are
+    ``psum``-reduced across devices — the distributed EM of SURVEY §3.3.
+    Every device ends with identical parameters.
+
+    Above the dense-pair limit (N*C entries; same dispatch policy as the
+    kernel backend, reference kernel.py:99-104) the E-step streams point
+    tiles instead of materializing (N, C); ``tile`` forces a tile size.
+    """
+    if mask is None:
+        mask = jnp.ones((x.shape[0],), x.dtype)
+
+    if tile is not None:
+        return _em_step_tiled(state, x, mask, cfg, skip_m, axis_name, tile)
+
+    from difficp_tpu.ops import backend as _backend
+
+    if _backend._use_dense(x.shape[0], state.mu.shape[0]):
+        return _em_step_dense(state, x, mask, cfg, skip_m, axis_name)
+    return _em_step_tiled(state, x, mask, cfg, skip_m, axis_name, tile=8192)
 
 
 class EMOptOut(NamedTuple):

@@ -117,18 +117,16 @@ def _reg_opt_lddmm(
         )
         x1k = final.x if use_ext else final.q
         if coverage_check and use_ext:
-            # uncovered data points at any time step (PSR.py:556-566)
+            # uncovered data points at any time step (PSR.py:556-566);
+            # tiled min reduction via the backend dispatch — never
+            # materializes the (Nx, M) matrix at scale
+            from difficp_tpu.ops import backend as red_backend
+
             def unc(qt, xt):
-                d2 = jnp.min(
-                    jnp.sum((xt[:, None, :] - qt[None, :, :]) ** 2, -1)
-                    + jnp.where(qmk[None, :] > 0, 0.0, jnp.inf),
-                    axis=1,
+                uncov = red_backend.check_coverage(
+                    xt, qt, lcfg.sigma, r_cover_warn, mask_x=xmk, mask_y=qmk
                 )
-                return jnp.sum(
-                    jnp.where(
-                        (d2 > (r_cover_warn * lcfg.sigma) ** 2) & (xmk > 0), 1, 0
-                    )
-                )
+                return jnp.sum(jnp.where(uncov, 1, 0))
 
             uncovered = jax.vmap(unc)(traj.q, traj.x)
         else:

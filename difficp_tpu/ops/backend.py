@@ -114,6 +114,56 @@ def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
     return _dense.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
 
 
+def _use_pallas_generic():
+    """Pallas dispatch for the non-RHS kernels (no eta restriction)."""
+    if _FORCE["mode"] == "pallas":
+        return True
+    if _FORCE["mode"] is not None:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def min_sqdist(x, y, mask_y=None):
+    """min_j |x_i - y_j|^2 with the same tiling discipline as the RHS ops
+    (KeOps sqdist.min role, reference kernel.py:324-328)."""
+    if _use_dense(x.shape[0], y.shape[0]):
+        return _dense.min_sqdist(x, y, mask_y)
+    if _use_pallas_generic():
+        from difficp_tpu.ops.pallas_reductions import kmin2_pallas
+
+        m1, _ = kmin2_pallas(x, y, mask_y, exclude_self=False)
+        return m1
+    return _block.min_sqdist(x, y, mask_y)
+
+
+def second_min_sqdist(x, mask=None):
+    """Nearest-neighbour (excluding self) squared distance — KeOps Kmin(2),
+    reference point_sets.py:23-25.  Tiled above DENSE_PAIR_LIMIT (the dense
+    (N, N) materialization is unusable at 100k+ points)."""
+    if _use_dense(x.shape[0], x.shape[0]):
+        return _dense.second_min_sqdist(x, mask)
+    if _use_pallas_generic():
+        from difficp_tpu.ops.pallas_reductions import kmin2_pallas
+
+        # self excluded in-kernel, so the first minimum is the NN distance
+        m1, _ = kmin2_pallas(x, x, mask, exclude_self=True)
+        return m1
+    return _block.second_min_sqdist(x, mask)
+
+
+def check_coverage(x, y, sigma, r_threshold, mask_x=None, mask_y=None):
+    """True for x_i farther than r_threshold*sigma from every y_j
+    (kernel.py:324-328), via the dispatched min reduction."""
+    import jax.numpy as jnp
+
+    uncov = min_sqdist(x, y, mask_y) > (r_threshold * sigma) ** 2
+    if mask_x is not None:
+        uncov = jnp.logical_and(uncov, mask_x > 0)
+    return uncov
+
+
 def hamiltonian(q, p, sigma, eta, mask_q=None):
     if _use_dense(q.shape[0], q.shape[0]):
         return _dense.hamiltonian(q, p, sigma, eta, mask_q)

@@ -235,8 +235,10 @@ def _top2_scan(x, y, mask_y, tile, self_indices):
 
 def second_min_sqdist(x, mask=None, tile=2048):
     """Blockwise nearest-neighbour (excluding self) squared distance —
-    the KeOps Kmin(2) of reference point_sets.py:23-25."""
+    the KeOps Kmin(2) of reference point_sets.py:23-25.  The reference keeps
+    the trivial self-pair as the first minimum; here self is excluded
+    outright, so the first of the streamed top-2 is the answer."""
     m = mask if mask is not None else jnp.ones((x.shape[0],), x.dtype)
     idx = jnp.arange(x.shape[0], dtype=jnp.int32)
-    _, m2 = _top2_scan(x, x, m, tile, idx)
-    return m2
+    m1, _ = _top2_scan(x, x, m, tile, idx)
+    return m1

@@ -609,6 +609,95 @@ def _ext_bwd_pallas(q, p, x, mq, mx, gx, gc, sigma, ti=256, tj=512):
     return dq, dp, dx
 
 
+def _kmin2_kernel(xblk_ref, y_ref, out_ref, *, tj, d, exclude_self):
+    """Streaming top-2 smallest |x_i - y_j|^2 (the KeOps Kmin(2) role,
+    reference kernel.py:324-328, point_sets.py:23-25).
+
+    xblk rows: [x 0..d-1 | idx d]   (lane = points)
+    y_ref rows: [y 0..d-1 | mask d | idx d+1]
+    out rows: [min1 | min2]
+    """
+    m_total = y_ref.shape[1]
+    n_j = m_total // tj
+    ti = xblk_ref.shape[1]
+    big = jnp.float32(jnp.inf)
+
+    xi = [xblk_ref[dd, :][:, None] for dd in range(d)]
+    ii = xblk_ref[d, :][:, None]
+
+    def body(jt, acc):
+        m1, m2 = acc
+        j0 = jt * tj
+        yj = [y_ref[dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        mj = y_ref[d, pl.ds(j0, tj)][None, :]
+        jj = y_ref[d + 1, pl.ds(j0, tj)][None, :]
+        d2 = (xi[0] - yj[0]) * (xi[0] - yj[0])
+        for dd in range(1, d):
+            d2 = d2 + (xi[dd] - yj[dd]) * (xi[dd] - yj[dd])
+        d2 = jnp.where(mj > 0, d2, big)
+        if exclude_self:
+            d2 = jnp.where(jj == ii, big, d2)
+        t1 = jnp.min(d2, axis=1, keepdims=True)
+        # knock out exactly ONE instance of the tile minimum (tie-robust)
+        jpos = jax.lax.broadcasted_iota(jnp.float32, d2.shape, 1)
+        minpos = jnp.min(jnp.where(d2 == t1, jpos, big), axis=1,
+                         keepdims=True)
+        t2 = jnp.min(jnp.where(jpos == minpos, big, d2), axis=1,
+                     keepdims=True)
+        new_m1 = jnp.minimum(m1, t1)
+        new_m2 = jnp.minimum(jnp.maximum(m1, t1), jnp.minimum(m2, t2))
+        return new_m1, new_m2
+
+    m1, m2 = jax.lax.fori_loop(
+        0, n_j,
+        body,
+        (jnp.full((ti, 1), big), jnp.full((ti, 1), big)),
+    )
+    out_ref[0, :] = m1[:, 0]
+    out_ref[1, :] = m2[:, 0]
+    for r in range(2, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def kmin2_pallas(x, y, mask_y=None, exclude_self=False, ti=512, tj=1024):
+    """(min1, min2) of |x_i - y_j|^2 over masked y, streamed in VMEM.
+
+    ``exclude_self=True`` skips the pair with equal global index (x must be
+    y for that to make sense) — the nearest-neighbour-excluding-self mode of
+    intrinsic_scale."""
+    nx, d = x.shape
+    n = y.shape[0]
+    nx_pad = -(-nx // ti) * ti
+    n_pad = -(-n // tj) * tj
+    my = mask_y if mask_y is not None else jnp.ones((n,), jnp.float32)
+    xpack = _pack(
+        [x[:, dd] for dd in range(d)]
+        + [jnp.arange(nx, dtype=jnp.float32)],
+        nx_pad,
+    )
+    ypack = _pack(
+        [y[:, dd] for dd in range(d)] + [my]
+        + [jnp.arange(n, dtype=jnp.float32)],
+        n_pad,
+    )
+    # padded x rows: index defaults to 0 — irrelevant (rows sliced off);
+    # padded y rows have mask 0 -> excluded.
+    out = pl.pallas_call(
+        functools.partial(_kmin2_kernel, tj=tj, d=d,
+                          exclude_self=bool(exclude_self)),
+        grid=(nx_pad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, nx_pad), jnp.float32),
+        interpret=_interpret(),
+    )(xpack, ypack)
+    return out[0, :nx], out[1, :nx]
+
+
 def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
                  ti: int = 256, tj: int = 512):
     """Custom-VJP fused ext-RHS: (vq, -Gq, dcost-at-x, vx).

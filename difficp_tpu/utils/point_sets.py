@@ -15,13 +15,17 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from difficp_tpu.ops.reductions import kred_scal, second_min_sqdist
+from difficp_tpu.ops import backend as _backend
+from difficp_tpu.ops.reductions import kred_scal
 
 
 def intrinsic_scale(x, mask=None) -> float:
     """Mean nearest-neighbour distance of the point set — the minimal blur
-    at which the set stops being resolvable (reference point_sets.py:13-26)."""
-    nn2 = second_min_sqdist(jnp.asarray(x), mask)
+    at which the set stops being resolvable (reference point_sets.py:13-26).
+
+    Runs through the backend dispatch: dense below the pair limit, tiled
+    blockwise/pallas Kmin(2) above it (usable at 100k+ points)."""
+    nn2 = _backend.second_min_sqdist(jnp.asarray(x), mask)
     if mask is not None:
         m = jnp.asarray(mask)
         val = jnp.sqrt(nn2)
