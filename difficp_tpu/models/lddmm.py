@@ -31,8 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from difficp_tpu.ops import backend as red
-from difficp_tpu.ops import reductions as red_dense
-from difficp_tpu.ops.solvers import kpinv_solve, kridge_solve, svd_pow
+from difficp_tpu.ops.solvers import (
+    kpinv_solve, kridge_solve, kridge_solve_cg, svd_pow,
+)
 from difficp_tpu.utils.integrators import integrate
 from difficp_tpu.utils.lbfgs import lbfgs_optimize
 
@@ -207,14 +208,27 @@ def optimize(
 def v2p(cfg: LDDMMConfig, q, v_target, rcond=1e-3, alpha=1e-4,
         version: str = "pinv", qmask=None):
     """Estimate momenta p with v(q, q, p) ~= v_target (ill-posed; pinv or
-    ridge regularized, LDDMM.py:235-253)."""
+    ridge regularized, LDDMM.py:235-253).
+
+    Above the dense pair limit the O(M^3) SVD pseudo-inverse is infeasible
+    (the reference's numpy-lstsq path has the same wall, kernel.py:227-232);
+    'pinv' then falls back to the matrix-free CG ridge solve with a
+    blockwise kernel matvec, and the gradcomponent right-hand side streams
+    through the dispatched grad_kred."""
     rhs = v_target
     if cfg.eta != 0.0:
-        rhs = rhs + cfg.eta * red_dense.grad_kred(q, q, cfg.sigma, qmask)
+        rhs = rhs + cfg.eta * red.grad_kred(q, q, cfg.sigma, qmask)
+    m = q.shape[0]
+    if version in ("pinv", "ridge", "ridge_keops", "ridge_pytorch") and (
+        m * m > red.DENSE_PAIR_LIMIT
+    ):
+        version = "ridge_cg"
     if version == "pinv":
         return kpinv_solve(q, rhs, cfg.sigma, rcond=rcond, mask=qmask)
     elif version in ("ridge", "ridge_keops", "ridge_pytorch"):
         return kridge_solve(q, rhs, cfg.sigma, alpha=alpha, mask=qmask)
+    elif version == "ridge_cg":
+        return kridge_solve_cg(q, rhs, cfg.sigma, alpha=alpha, mask=qmask)
     raise ValueError(f"unknown v2p version: {version}")
 
 

@@ -44,15 +44,17 @@ def _use_dense(m, n):
 
 
 def _use_pallas(eta):
+    # all eta handled since round 2 (gradcomponent terms stream in-kernel;
+    # eta != 0 backward runs the blockwise VJP inside the custom_vjp ops)
     if _FORCE["mode"] == "pallas":
-        return eta == 0.0
+        return True
     if _FORCE["mode"] is not None:
         return False
     import jax
 
     # pallas fused kernels: TPU-compiled fast path (interpret mode on CPU is
     # slow, so auto mode only selects them on real TPU)
-    return eta == 0.0 and jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 _pallas_cache = {}
@@ -167,12 +169,13 @@ def check_coverage(x, y, sigma, r_threshold, mask_x=None, mask_y=None):
 def hamiltonian(q, p, sigma, eta, mask_q=None):
     if _use_dense(q.shape[0], q.shape[0]):
         return _dense.hamiltonian(q, p, sigma, eta, mask_q)
-    # H from fused self terms: H = 0.5 sum_i p_i . KRed_i - eta sum p.GradK
-    # - 0.5 eta^2 LapK; equivalently 0.5 p.vq - 0.5 eta p.GradK - 0.5 e^2 Lap.
-    # For the common eta == 0 case: H = 0.5 sum p . vq.
-    import jax.numpy as jnp
+    # blockwise handles any eta (incl. the gradcomponent b/c terms),
+    # O(M) memory — the dense path would OOM at 100k+ points
+    return _block.hamiltonian(q, p, sigma, eta, mask_q)
 
-    if eta == 0.0:
-        vq, _, _ = _block.lddmm_rhs_self(q, p, sigma, 0.0, False, mask_q)
-        return 0.5 * jnp.sum(p * vq)
-    return _dense.hamiltonian(q, p, sigma, eta, mask_q)
+
+def grad_kred(x, y, sigma, mask_y=None):
+    """sum_j (grad K)(x_i - y_j) (kernel.py:142), size-dispatched."""
+    if _use_dense(x.shape[0], y.shape[0]):
+        return _dense.grad_kred(x, y, sigma, mask_y)
+    return _block.grad_kred(x, y, sigma, mask_y)

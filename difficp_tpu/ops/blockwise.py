@@ -166,6 +166,96 @@ def v_field(x, q, p, sigma, eta, mask_q=None, tile=1024):
     return vx
 
 
+def _stream_y(y, extra, mask_y, tile):
+    """Pad and tile the j-side arrays for a scan."""
+    n = y.shape[0]
+    nt = _tiles(n, tile)
+    npad = nt * tile
+    yj = _pad_to(y, npad).reshape(nt, tile, y.shape[1])
+    my = mask_y if mask_y is not None else jnp.ones((n,), y.dtype)
+    mj = _pad_to(my, npad).reshape(nt, tile)
+    ej = tuple(
+        _pad_to(e, npad).reshape((nt, tile) + e.shape[1:]) for e in extra
+    )
+    return yj, mj, ej
+
+
+def kred(x, y, b, sigma, mask_y=None, tile=1024):
+    """Blockwise kernel-sum convolution sum_j K(x_i - y_j) b_j
+    (the KeOps KRed role, reference kernel.py:138)."""
+    yj, mj, (bj,) = _stream_y(y, (b,), mask_y, tile)
+    sig2 = sigma**2
+
+    def body(acc, tin):
+        yjt, mjt, bjt = tin
+        d2 = jnp.sum((x[:, None, :] - yjt[None, :, :]) ** 2, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        return acc + jnp.matmul(k, bjt, precision="highest"), None
+
+    acc0 = jnp.zeros((x.shape[0], b.shape[1]), x.dtype)
+    out, _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), acc0, (yj, mj, bj)
+    )
+    return out
+
+
+def kred_scal(x, y, d, sigma, mask_y=None, tile=1024):
+    """Blockwise sum_j K(x_i - y_j) d_j, scalar payload (kernel.py:134)."""
+    return kred(x, y, d[:, None], sigma, mask_y, tile)[:, 0]
+
+
+def grad_kred(x, y, sigma, mask_y=None, tile=1024):
+    """Blockwise sum_j (grad K)(x_i - y_j) (kernel.py:142)."""
+    yj, mj, _ = _stream_y(y, (), mask_y, tile)
+    sig2 = sigma**2
+
+    def body(acc, tin):
+        yjt, mjt = tin
+        diff = x[:, None, :] - yjt[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        return acc + jnp.einsum(
+            "mt,mtd->md", k, -diff, precision="highest"
+        ) / sig2, None
+
+    acc0 = jnp.zeros_like(x)
+    out, _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), acc0, (yj, mj)
+    )
+    return out
+
+
+def hamiltonian(q, p, sigma, eta, mask_q=None, tile=1024):
+    """Blockwise H(q,p) incl. the gradcomponent eta terms (LDDMM.py:142-159)
+    — the large-M path the dense hamiltonian cannot represent."""
+    m, d = q.shape
+    qj, mj, (pj,) = _stream_y(q, (p,), mask_q, tile)
+    sig2 = sigma**2
+    mrow = mask_q if mask_q is not None else None
+
+    def body(acc, tin):
+        qjt, mjt, pjt = tin
+        diff = q[:, None, :] - qjt[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        if mrow is not None:
+            k = k * mrow[:, None]
+        h = 0.5 * jnp.einsum("mt,md,td->", k, p, pjt, precision="highest")
+        if eta != 0.0:
+            bsum = jnp.einsum(
+                "mt,mtd,md->", k, -diff, p, precision="highest"
+            ) / sig2
+            csum = jnp.sum(k * (d2 / sig2**2 - d / sig2))
+            h = h - eta * bsum - 0.5 * eta**2 * csum
+        return acc + h, None
+
+    h, _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False),
+        jnp.zeros((), q.dtype), (qj, mj, pj),
+    )
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Tiled nearest-neighbour reductions (the KeOps Kmin/Kmin(2) role:
 # reference kernel.py:324-328, point_sets.py:23-25) — running min / top-2

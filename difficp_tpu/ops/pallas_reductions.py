@@ -50,8 +50,11 @@ def _pack(arrs, mpad):
     return rows
 
 
-def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet, tj, d):
-    """One i-tile of the fused self RHS (eta == 0).
+def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, eta, withlogdet,
+                     tj, d):
+    """One i-tile of the fused self RHS (eta == 0 fast path; eta != 0 adds
+    the gradcomponent terms GradKRed / HessKRed / GradLapKRed / LapKRed,
+    reference LDDMM.py:113-116,196-216).
 
     blk_ref: (8, TI) packed i-tile [q rows 0..d-1 | p rows d..2d-1 | mask 2d].
     full_ref: (8, Mpad) same packing, whole set (streams j-tiles).
@@ -93,11 +96,40 @@ def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet, tj, d):
             gq[dd] - jnp.sum(kd * diffs[dd], axis=1, keepdims=True) * inv_sig2
             for dd in range(d)
         ]
+        if eta != 0.0:
+            # vq -= eta GradKRed  ==  vq += eta sum_j k diff / s^2
+            vq = [
+                vq[dd]
+                + eta * inv_sig2 * jnp.sum(k * diffs[dd], axis=1,
+                                           keepdims=True)
+                for dd in range(d)
+            ]
+            # gq -= eta HessKRed + eta^2 GradLapKRed
+            cb = [pi[dd] - pj[dd] for dd in range(d)]
+            proj_cb = diffs[0] * cb[0]
+            for dd in range(1, d):
+                proj_cb = proj_cb + diffs[dd] * cb[dd]
+            lap_coef = k * (d2 * inv_sig2 - (d + 2)) * (inv_sig2 * inv_sig2)
+            gq = [
+                gq[dd]
+                - eta * (
+                    inv_sig2 * inv_sig2
+                    * jnp.sum(k * proj_cb * diffs[dd], axis=1, keepdims=True)
+                    - inv_sig2 * jnp.sum(k * cb[dd], axis=1, keepdims=True)
+                )
+                + (eta * eta) * jnp.sum(lap_coef * diffs[dd], axis=1,
+                                        keepdims=True)
+                for dd in range(d)
+            ]
         if withlogdet:
             proj = pi[0] * diffs[0]
             for dd in range(1, d):
                 proj = proj + pi[dd] * diffs[dd]
             dc = dc - jnp.sum(mi * k * proj, axis=1, keepdims=True) * inv_sig2
+            if eta != 0.0:
+                dc = dc + eta * inv_sig2 * jnp.sum(
+                    mi * k * (d2 * inv_sig2 - d), axis=1, keepdims=True
+                )
         return (vq, gq, dc)
 
     acc0 = (
@@ -114,8 +146,8 @@ def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet, tj, d):
         out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
 
 
-def _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet, ti=256, tj=512):
-    """Pallas forward of the fused self RHS (eta == 0 fast path)."""
+def _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet, ti=256, tj=512):
+    """Pallas forward of the fused self RHS (any eta)."""
     m, d = q.shape
     step = max(ti, tj)
     mpad = -(-m // step) * step
@@ -125,8 +157,8 @@ def _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet, ti=256, tj=512):
     )
     grid = mpad // ti
     kernel = functools.partial(
-        _rhs_self_kernel, sigma=float(sigma), withlogdet=bool(withlogdet),
-        tj=tj, d=d,
+        _rhs_self_kernel, sigma=float(sigma), eta=float(eta),
+        withlogdet=bool(withlogdet), tj=tj, d=d,
     )
     out = pl.pallas_call(
         kernel,
@@ -146,8 +178,8 @@ def _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet, ti=256, tj=512):
     return vq, gq, dc
 
 
-def _vx_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):
-    """One x-tile of (v(x), per-point divergence cost).
+def _vx_kernel(xblk_ref, q_ref, out_ref, *, sigma, eta, withlogdet, tj, d):
+    """One x-tile of (v(x), per-point divergence cost), any eta.
 
     xblk_ref: (8, TI) packed x-tile [x rows 0..d-1 | mask row d].
     q_ref: (8, Mpad) packed support [q rows | p rows | mask].
@@ -176,11 +208,22 @@ def _vx_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):
             vx[dd] + jnp.sum(k * pj[dd], axis=1, keepdims=True)
             for dd in range(d)
         ]
+        if eta != 0.0:
+            vx = [
+                vx[dd]
+                + eta * inv_sig2 * jnp.sum(k * diffs[dd], axis=1,
+                                           keepdims=True)
+                for dd in range(d)
+            ]
         if withlogdet:
             proj = diffs[0] * pj[0]
             for dd in range(1, d):
                 proj = proj + diffs[dd] * pj[dd]
             dc = dc + jnp.sum(mxi * k * proj, axis=1, keepdims=True) * inv_sig2
+            if eta != 0.0:
+                dc = dc + eta * inv_sig2 * jnp.sum(
+                    mxi * k * (d2 * inv_sig2 - d), axis=1, keepdims=True
+                )
         return (vx, dc)
 
     acc0 = (
@@ -195,7 +238,8 @@ def _vx_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):
         out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
 
 
-def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=512):
+def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, eta, withlogdet, ti=256,
+                   tj=512):
     nx, d = x.shape
     m = q.shape[0]
     nx_pad = -(-nx // ti) * ti
@@ -207,7 +251,8 @@ def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet, ti=256, tj=512):
     )
     grid = nx_pad // ti
     kernel = functools.partial(
-        _vx_kernel, sigma=float(sigma), withlogdet=bool(withlogdet), tj=tj, d=d
+        _vx_kernel, sigma=float(sigma), eta=float(eta),
+        withlogdet=bool(withlogdet), tj=tj, d=d
     )
     out = pl.pallas_call(
         kernel,
@@ -387,20 +432,18 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
                   ti: int = 256, tj: int = 512):
     """Build the custom-VJP fused self-RHS op for a fixed configuration.
 
-    Forward: Pallas kernel (eta == 0) or blockwise fallback (eta != 0 —
-    the gradcomponent path is rare; reference defaults gradcomponent=False,
-    ICP_two_set.py:151).
-    Backward: VJP of the blockwise implementation (tile-streamed, O(M) mem).
-    """
+    Forward: Pallas kernel (any eta — the gradcomponent terms stream in the
+    same tile pass).  Backward: hand-derived Pallas kernel for eta == 0 (the
+    default configs); for eta != 0 the VJP of the blockwise implementation
+    (tile-streamed, O(M) memory — correct at scale, slower than a dedicated
+    kernel)."""
 
     def reference_impl(q, p, mask):
         return _block.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask)
 
     @jax.custom_vjp
     def op(q, p, mask):
-        if eta != 0.0:
-            return reference_impl(q, p, mask)
-        vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, withlogdet,
+        vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
                                           ti, tj)
         return vq, -gq, dc  # contract: (v(q), -Gq, dcost)
 
@@ -704,7 +747,8 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
 
     Support terms (vq, Gq over the small support set) run through the self
     kernel; the data-point terms (vx and the divergence cost, the large-Nx
-    side) run the streaming ``_vx_kernel``.  Backward = blockwise VJP.
+    side) run the streaming ``_vx_kernel``.  Both handle any eta.  Backward:
+    hand-derived Pallas kernels for eta == 0, blockwise VJP for eta != 0.
     """
     self_op = make_rhs_self(sigma, eta, False, ti, tj)
 
@@ -714,10 +758,8 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
 
     @jax.custom_vjp
     def op(q, p, x, maskq, maskx):
-        if eta != 0.0:
-            return reference_impl(q, p, x, maskq, maskx)
         vq, mgq, _ = self_op(q, p, maskq)
-        vx, dc = _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, withlogdet,
+        vx, dc = _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, eta, withlogdet,
                                 ti, tj)
         if not withlogdet:
             dc = jnp.zeros((), q.dtype)

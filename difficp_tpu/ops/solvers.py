@@ -74,3 +74,34 @@ def kridge_solve(q, v, sigma, alpha=1e-4, mask=None):
     if mask is not None:
         sol = sol * mask[:, None]
     return sol
+
+
+def kridge_solve_cg(q, v, sigma, alpha=1e-4, mask=None, tol=1e-6,
+                    maxiter=500, tile=1024):
+    """Matrix-free ridge solve (K + alpha I) b = v via conjugate gradients
+    with a blockwise kernel matvec — the large-M path where the dense Gram
+    matrix cannot exist (the solves the reference does with numpy lstsq /
+    torch solve, kernel.py:227-242, capped at small M there too).
+
+    K is PSD and alpha > 0 makes the system SPD, so plain CG converges;
+    the matvec streams j-tiles (O(M) memory)."""
+    from difficp_tpu.ops import blockwise as _block
+
+    if mask is not None:
+        v = v * mask[:, None]
+
+    def matvec(b):
+        out = _block.kred(
+            q, q, b if mask is None else b * mask[:, None], sigma, mask, tile
+        )
+        if mask is not None:
+            # identity rows for padded slots (same convention as _masked_gram)
+            out = mask[:, None] * out + (1.0 - mask)[:, None] * b
+        return out + alpha * b
+
+    sol, _ = jax.scipy.sparse.linalg.cg(
+        matvec, v, tol=tol, maxiter=maxiter
+    )
+    if mask is not None:
+        sol = sol * mask[:, None]
+    return sol
