@@ -5,7 +5,10 @@
    support (the regime where the reference's dense-torch backend cannot run
    at all — kernel.py:99-104).
 
-Usage:  python benchmarks/scale_bench.py [rhs|atlas|all]
+3. Standard (RKHS-loss) atlas at K x N=16k through the fused
+   DiffPSRStd.run loop (streaming data_distance).
+
+Usage:  python benchmarks/scale_bench.py [rhs|atlas|std|all]
 """
 
 import json
@@ -110,6 +113,53 @@ def bench_atlas(k=10, n=16384, n_iter=3):
             "frames_per_s_iter": round(frames_per_s, 2)}
 
 
+def bench_std(k=10, n=16384, ny=1024, n_iter=3):
+    """Standard (RKHS-loss) atlas at scale through the fused DiffPSRStd.run
+    loop — data_distance streams via the backend dispatch (no (Nx, Ny) Gram
+    materialization; reference PSR_standard.py:37-58 rides KeOps here).
+
+    One fused run(1) per measured iteration keeps each device program within
+    the axon ~60 s watchdog (Reg_opt 1x4 inner steps + Template_opt 1x4)."""
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import lddmm
+    from difficp_tpu.models.psr_standard import DiffPSRStd
+
+    rng = np.random.default_rng(0)
+    base_t = rng.uniform(0, 2 * np.pi, size=(k, n)).astype(np.float32)
+    x = []
+    for kk in range(k):
+        t = base_t[kk]
+        pts = np.stack([
+            0.5 + 0.4 * (t / 7) * np.cos(t), 0.5 + 0.3 * np.sin(t)
+        ], 1) + 0.02 * rng.normal(size=(n, 2))
+        x.append(pts.astype(np.float32))
+    tpl = x[0][rng.integers(0, n, ny)] + 0.01 * rng.normal(size=(ny, 2)).astype(np.float32)
+
+    lcfg = lddmm.make_config(sigma=0.2, lambd=2.0, version="classic",
+                             nt=10, scheme="Euler")
+    psr = DiffPSRStd(x, tpl.astype(np.float32), noise_std=0.2, lcfg=lcfg,
+                     data_sigma=0.1)
+    psr.printstuff = False
+
+    t0 = time.time()
+    psr.run(1, reg_nmax=1, reg_inner=4, reg_ls=12, tmpl_nmax=1)
+    print(f"std atlas compile+first iter: {time.time()-t0:.1f}s "
+          f"E={psr.E:.4f}", flush=True)
+
+    t0 = time.time()
+    for _ in range(n_iter):
+        psr.run(1, reg_nmax=1, reg_inner=4, reg_ls=12, tmpl_nmax=1)
+    dt = (time.time() - t0) / n_iter
+    print(
+        f"std atlas K={k} x N={n} (template {ny}): {dt:.2f} s/outer-iter, "
+        f"E={psr.E:.4f}, energy-increase events={psr.e_increase_events}",
+        flush=True,
+    )
+    return {"K": k, "N": n, "Ny": ny, "s_per_iter": round(dt, 2),
+            "E": round(psr.E, 4), "increase_events": psr.e_increase_events}
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
@@ -124,4 +174,6 @@ if __name__ == "__main__":
         res["rhs"] = bench_rhs()
     if which in ("all", "atlas"):
         res["atlas"] = bench_atlas()
+    if which in ("all", "std"):
+        res["std"] = bench_std()
     print(json.dumps(res))

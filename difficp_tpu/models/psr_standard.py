@@ -32,13 +32,15 @@ import numpy as np
 
 from difficp_tpu.models import affine as affine_mod
 from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.ops import backend as red
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import pad_structures
 from difficp_tpu.utils.lbfgs import lbfgs_optimize
 from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
-def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None):
+def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None,
+                  skip_xx=False):
     """RKHS distance between data x and (weighted) template y
     (PSR_standard.py:37-58):
 
@@ -46,21 +48,31 @@ def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None):
         fy = 1/Ny sum_j K(., y_j)  (or sum_j w_j K(., y_j) with weights).
 
     Differentiable wrt y (and w).  Masked x/y points carry zero weight.
+
+    Each inner product streams through the dispatched kernel-sum (KeOps role
+    in the reference, PSR_standard.py:44-58): O(Nx + Ny) memory above the
+    dense pair limit instead of an (Nx, Ny) Gram materialization.
+
+    ``skip_xx=True`` drops the <fx, fx> term — constant wrt y/w, so
+    optimizers over the template can skip the largest (Nx^2-pair) reduction
+    per evaluation; reported losses must keep it (default).
     """
     nx = jnp.sum(mask_x) if mask_x is not None else x.shape[0]
     ny = jnp.sum(mask_y) if mask_y is not None else y.shape[0]
 
     def ksum(a, b, wa, wb):
-        d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
-        k = jnp.exp(-d2 / (2.0 * sigma**2))
-        return jnp.einsum("i,ij,j->", wa, k, wb, precision="highest")
+        # <fa, fb> = sum_i wa_i [sum_j K(a_i - b_j) wb_j]
+        return jnp.vdot(wa, red.kred_scal(a, b, wb, sigma))
 
     wx = (mask_x if mask_x is not None else jnp.ones(x.shape[0], x.dtype)) / nx
     if w is None:
         wy = (mask_y if mask_y is not None else jnp.ones(y.shape[0], y.dtype)) / ny
     else:
         wy = w * mask_y if mask_y is not None else w
-    return ksum(x, x, wx, wx) + ksum(y, y, wy, wy) - 2.0 * ksum(y, x, wy, wx)
+    out = ksum(y, y, wy, wy) - 2.0 * ksum(y, x, wy, wx)
+    if not skip_xx:
+        out = out + ksum(x, x, wx, wx)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -78,12 +90,13 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
 
     def one(a0k, xk, xmk):
         def dataloss(pts):
+            # skip_xx: the data-data term is constant wrt the momenta
             l = jnp.zeros((), pts.dtype)
             for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
                 l = l + data_distance(
                     xk[xlo:xhi], pts[ylo:yhi], data_sigma,
                     w=None if w0 is None else w0[ylo:yhi],
-                    mask_x=xmk[xlo:xhi],
+                    mask_x=xmk[xlo:xhi], skip_xx=True,
                 ) / noise2[s]
             return l
 
@@ -96,6 +109,165 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
         return res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change
 
     return jax.vmap(one)(a0, x, xmask)
+
+
+@jax.jit
+def _xx_term(x, sigma, mask_x):
+    """The constant <fx, fx> term of data_distance for one frame (vmapped by
+    callers) — computed once per run since the data never moves."""
+    nx = jnp.sum(mask_x)
+    wx = mask_x / nx
+    return jnp.vdot(wx, red.kred_scal(x, x, wx, sigma))
+
+
+@partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
+def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                      nmax, tol, use_weights):
+    """L-BFGS over one structure's template (and optional weights), gradient
+    through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
+    so repeated Template_opt calls reuse the compiled program instead of
+    re-tracing a fresh closure each time."""
+
+    def loss_of(ys, ws):
+        def per_frame(a0k, xk, xmk):
+            final, _ = lddmm_mod.shoot(lcfg, q0, a0k, ys)
+            return data_distance(
+                xk, final.x, data_sigma, w=ws, mask_x=xmk, skip_xx=True
+            )
+        return jnp.sum(jax.vmap(per_frame)(a0, x_s, xm_s)) / noise2
+
+    if use_weights:
+        res = lbfgs_optimize(
+            lambda p: loss_of(p[0], p[1]), (y0s, w0s), nmax=nmax, tol=tol
+        )
+        return res.params[0], res.params[1], res.loss, res.n_steps
+    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax, tol=tol)
+    return res.params, w0s, res.loss, res.n_steps
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "lcfg", "slices", "n_outer", "reg_nmax", "reg_inner", "reg_ls",
+        "tmpl_nmax", "dense_support", "use_weights",
+    ),
+)
+def _run_loop_std(
+    q0, a0, y0, w0, x, xmask, noise2, data_sigma,
+    lcfg, slices, n_outer, reg_nmax, reg_tol, reg_inner, reg_ls,
+    tmpl_nmax, tmpl_tol, dense_support, use_weights,
+):
+    """The standard algorithm's whole alternating loop (Reg_opt +
+    Template_opt, reference PSR_standard.py:507-564) fused into ONE compiled
+    program — the analog of ``psr._run_loop_lddmm`` for the RKHS-loss model.
+
+    ``dense_support``: the template is the support (support_scheme None) —
+    after each template move the support follows it and the momenta are
+    re-projected on the new span (PSR_standard.py:299-309).  Otherwise
+    (grid/custom support) q0 is fixed.  The host-side "decim" scheme cannot
+    run fused (decimation is data-dependent on the host).
+
+    Returns final (q0, a0, y0, w0, y1), per-phase energies (n_outer, 2)
+    [after Reg_opt, after Template_opt] *excluding* the constant <fx,fx>
+    term, the final per-(k, s) datalosses (same convention) and regloss.
+    """
+    k = x.shape[0]
+    use_ext = not dense_support
+
+    def dataloss_frame(pts, xk, xmk, w0c):
+        l = jnp.zeros((), pts.dtype)
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            l = l + data_distance(
+                xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                w=None if not use_weights else w0c[ylo:yhi],
+                mask_x=xmk[xlo:xhi], skip_xx=True,
+            ) / noise2[s]
+        return l
+
+    def datal_matrix(y1, w0c):
+        """Per-(k, s) dataloss (skip_xx convention), (K, S)."""
+        cols = []
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            def one(y1k, xk, xmk):
+                return data_distance(
+                    xk[xlo:xhi], y1k[ylo:yhi], data_sigma,
+                    w=None if not use_weights else w0c[ylo:yhi],
+                    mask_x=xmk[xlo:xhi], skip_xx=True,
+                ) / noise2[s]
+            cols.append(jax.vmap(one)(y1, x, xmask))
+        return jnp.stack(cols, axis=1)
+
+    def outer(carry, _):
+        q0, a0, y0, w0 = carry
+
+        # ---- Reg_opt: all frames in lockstep --------------------------
+        def one(a0k, xk, xmk):
+            res = lddmm_mod.optimize(
+                lcfg,
+                lambda pts: dataloss_frame(pts, xk, xmk, w0),
+                q0, a0k,
+                y0 if use_ext else None,
+                None, None,
+                nmax=reg_nmax, tol=reg_tol, inner=reg_inner,
+                max_linesearch_steps=reg_ls,
+            )
+            y1k = res.final.x if use_ext else res.final.q
+            return res.p0, y1k, res.trajl, res.datal
+
+        a0, y1, regl, datal = jax.vmap(one)(a0, x, xmask)
+        e_reg = jnp.sum(regl) + jnp.sum(datal)
+
+        # ---- Template_opt: per structure, through K frozen shoots -----
+        new_y0, new_w0 = [], []
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            ys, ws, _, _ = _template_opt_std(
+                lcfg, q0, a0, x[:, xlo:xhi], xmask[:, xlo:xhi],
+                y0[ylo:yhi],
+                w0[ylo:yhi] if use_weights else jnp.zeros((0,), y0.dtype),
+                data_sigma, noise2[s], tmpl_nmax, tmpl_tol, use_weights,
+            )
+            new_y0.append(ys)
+            new_w0.append(ws)
+        y0 = jnp.concatenate(new_y0, axis=0)
+        w0 = jnp.concatenate(new_w0, axis=0) if use_weights else w0
+
+        # ---- support follows the template (dense support) -------------
+        if dense_support:
+            q0_prev = q0
+            q0 = y0
+
+            def reproject(a0k):
+                v_new = lddmm_mod.v(lcfg, q0, q0_prev, a0k)
+                return lddmm_mod.v2p(lcfg, q0, v_new, rcond=1e-1)
+
+            a0 = jax.vmap(reproject)(a0)
+
+        # ---- refreshed state + energy after the template move ---------
+        def rewarp(a0k):
+            final, _ = lddmm_mod.shoot(
+                lcfg, q0, a0k, y0 if use_ext else None
+            )
+            y1k = final.x if use_ext else final.q
+            return y1k, lddmm_mod.trajloss(lcfg, q0, a0k, final.cost)
+
+        y1, regl = jax.vmap(rewarp)(a0)
+        dmat = datal_matrix(y1, w0)
+        e_tmpl = jnp.sum(regl) + jnp.sum(dmat)
+
+        return (q0, a0, y0, w0), (e_reg, e_tmpl, regl, dmat)
+
+    carry0 = (q0, a0, y0, w0)
+    (q0, a0, y0, w0), (e_regs, e_tmpls, regls, dmats) = jax.lax.scan(
+        outer, carry0, None, length=n_outer
+    )
+
+    def rewarp_final(a0k):
+        final, _ = lddmm_mod.shoot(lcfg, q0, a0k, y0 if use_ext else None)
+        return final.x if use_ext else final.q
+
+    y1 = jax.vmap(rewarp_final)(a0)
+    energies = jnp.stack([e_regs, e_tmpls], axis=1)
+    return q0, a0, y0, w0, y1, energies, regls[-1], dmats[-1]
 
 
 class MultiPSRStd:
@@ -290,40 +462,29 @@ class DiffPSRStd(MultiPSRStd):
 
     def Template_opt(self, nmax=10, tol=1e-3):
         """L-BFGS over template positions (and weights); gradient through all
-        K shoots (PSR_standard.py:226-255)."""
-        use_ext = True  # template points are always advected as externals here
+        K shoots (PSR_standard.py:226-255).  Rides the module-level jitted
+        ``_template_opt_std`` — one compiled program per static config,
+        reused across calls and structures."""
         for s in range(self.S):
             ylo, yhi, xlo, xhi = self.slices[s]
-            noise2 = self.noise_std[s] ** 2
-            q0, a0 = self.q0, self.a0
-            x_s = self.x[:, xlo:xhi]
-            xm_s = self.xmask[:, xlo:xhi]
-
-            def loss_of(y0s, ws):
-                def per_frame(a0k, xk, xmk):
-                    final, _ = lddmm_mod.shoot(self.lcfg, q0, a0k, y0s)
-                    return data_distance(
-                        xk, final.x, self.data_sigma, w=ws, mask_x=xmk
-                    )
-                return jnp.sum(jax.vmap(per_frame)(a0, x_s, xm_s)) / noise2
-
+            ys, ws, loss, n_steps = _template_opt_std(
+                self.lcfg, self.q0, self.a0,
+                self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
+                self.y0[s],
+                self.w0[s] if self.template_weights
+                else jnp.zeros((0,), self.y0[s].dtype),
+                self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
+                self.template_weights,
+            )
+            self.y0[s] = ys
             if self.template_weights:
-                res = lbfgs_optimize(
-                    lambda p: loss_of(p[0], p[1]), (self.y0[s], self.w0[s]),
-                    nmax=nmax, tol=tol,
-                )
-                self.y0[s], self.w0[s] = res.params
-            else:
-                res = lbfgs_optimize(
-                    lambda y: loss_of(y, None), self.y0[s], nmax=nmax, tol=tol
-                )
-                self.y0[s] = res.params
+                self.w0[s] = ws
 
             self.update_state_after_template(s)
             if self.printstuff:
                 print(
-                    f"Template {s} : {int(res.n_steps)} optim steps, "
-                    f"loss={float(res.loss):.4}".ljust(70)
+                    f"Template {s} : {int(n_steps)} optim steps, "
+                    f"loss={float(loss):.4}".ljust(70)
                     + f"Total energy = {self.E if self.E is not None else 0:.8}"
                 )
 
@@ -357,6 +518,72 @@ class DiffPSRStd(MultiPSRStd):
 
     def Registration(self, k=0) -> LDDMMRegistration:
         return LDDMMRegistration(cfg=self.lcfg, q0=self.q0, a0=self.a0[k])
+
+    # ----- fused alternating loop --------------------------------------
+
+    def _const_xx(self):
+        """Per-(k, s) constant <fx, fx>/noise^2 matrix (data-only term)."""
+        cols = []
+        for s, (_, _, xlo, xhi) in enumerate(self.slices):
+            v = jax.vmap(lambda xk, mk: _xx_term(xk, self.data_sigma, mk))(
+                self.x[:, xlo:xhi], self.xmask[:, xlo:xhi]
+            )
+            cols.append(np.asarray(v, np.float64) / self.noise_std[s] ** 2)
+        return np.stack(cols, axis=1)
+
+    def run(self, n_iters: int, reg_nmax=10, reg_tol=1e-3, reg_inner=20,
+            reg_ls=25, tmpl_nmax=10, tmpl_tol=1e-3):
+        """Run ``n_iters`` alternations of Reg_opt + Template_opt as ONE
+        compiled program (reference outer loop PSR_standard.py:507-564) —
+        zero host round trips between phases.  Supported for dense (None),
+        "grid" and "custom" support schemes; "decim" recomputes the support
+        on the host per template move, so it must use the stepwise methods.
+
+        Returns the per-phase energy sequence, shape (n_iters, 2)
+        [after Reg_opt, after Template_opt], including the constant
+        <fx, fx> data term (same convention as ``update_E``).
+        """
+        if n_iters <= 0:
+            return np.zeros((0, 2))
+        assert self.support_scheme != "decim", (
+            "decim support re-decimates on the host; use Reg_opt/Template_opt"
+        )
+        dense_support = self.support_scheme is None
+        const = self._const_xx()
+        noise2 = jnp.asarray([v**2 for v in self.noise_std])
+        w0c = (
+            self.w0_cat if self.template_weights
+            else jnp.zeros((self.ny_tot,), self.ally0.dtype)
+        )
+
+        q0, a0, y0c, w0c, y1, energies, regl, dmat = _run_loop_std(
+            self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,
+            noise2, self.data_sigma,
+            self.lcfg, tuple(self.slices), int(n_iters),
+            int(reg_nmax), reg_tol, int(reg_inner), int(reg_ls),
+            int(tmpl_nmax), tmpl_tol, dense_support, self.template_weights,
+        )
+
+        self.q0, self.a0, self.y1 = q0, a0, y1
+        self.y0 = [y0c[ylo:yhi] for (ylo, yhi, _, _) in self.slices]
+        if self.template_weights:
+            self.w0 = [w0c[ylo:yhi] for (ylo, yhi, _, _) in self.slices]
+        self.regloss = np.asarray(regl, np.float64)
+        self.dataloss = np.asarray(dmat, np.float64) + const
+
+        # energy bookkeeping + the monotonicity oracle over every phase
+        es = np.asarray(energies, np.float64) + const.sum()
+        for e in es.reshape(-1):
+            if self.E is not None and e > self.E + 1e-4 * abs(self.E) + 1e-6:
+                self.e_increase_events += 1
+                print("WARNING: measured increase in optimization energy ! Should not happen.")
+            self.E = float(e)
+        if self.printstuff:
+            print(
+                f"run({n_iters} fused std iterations)".ljust(70)
+                + f"Total energy = {self.E:.8}"
+            )
+        return es
 
 
 class AffinePSRStd(MultiPSRStd):
@@ -400,7 +627,7 @@ class AffinePSRStd(MultiPSRStd):
                 l = l + data_distance(
                     xk[xlo:xhi], pts[ylo:yhi], data_sigma,
                     w=None if w0c is None else w0c[ylo:yhi],
-                    mask_x=xmk[xlo:xhi],
+                    mask_x=xmk[xlo:xhi], skip_xx=True,
                 ) / noise2[s]
             return l
 
@@ -461,7 +688,8 @@ class AffinePSRStd(MultiPSRStd):
                 def per_frame(m, t, xk, xmk):
                     pts = affine_mod.apply(m, t, y0s)
                     return data_distance(
-                        xk, pts, self.data_sigma, w=ws, mask_x=xmk
+                        xk, pts, self.data_sigma, w=ws, mask_x=xmk,
+                        skip_xx=True,
                     )
                 return jnp.sum(jax.vmap(per_frame)(m_all, t_all, x_s, xm_s)) / noise2
 

@@ -179,3 +179,19 @@ def grad_kred(x, y, sigma, mask_y=None):
     if _use_dense(x.shape[0], y.shape[0]):
         return _dense.grad_kred(x, y, sigma, mask_y)
     return _block.grad_kred(x, y, sigma, mask_y)
+
+
+def kred(x, y, b, sigma, mask_y=None):
+    """Kernel-sum convolution sum_j K(x_i - y_j) b_j (the KeOps KRed role,
+    kernel.py:138), size-dispatched — the standard algorithm's data_distance
+    rides this instead of materializing the (Nx, Ny) Gram matrix."""
+    if _use_dense(x.shape[0], y.shape[0]):
+        return _dense.kred(x, y, b, sigma, mask_y)
+    return _block.kred(x, y, b, sigma, mask_y)
+
+
+def kred_scal(x, y, d, sigma, mask_y=None):
+    """sum_j K(x_i - y_j) d_j, scalar payload (kernel.py:134)."""
+    if _use_dense(x.shape[0], y.shape[0]):
+        return _dense.kred_scal(x, y, d, sigma, mask_y)
+    return _block.kred_scal(x, y, d, sigma, mask_y)
