@@ -67,6 +67,46 @@ def tpu(n_iter=6):
                       "FE_last": psr.FE}))
 
 
+def tpu_fused(n_iter=6, chunk=2, reg_nmax=6):
+    """The fused-path K=64 bench (VERDICT round-1 item 1): all of (EM +
+    lockstep registration) x chunk iterations in ONE device program via
+    DiffPSR.run — the per-dispatch overhead of the axon relay (which
+    dominates the tiny per-frame programs of the stepwise mode) is paid
+    once per chunk instead of ~5x per outer iteration.
+
+    One fused iteration = EM(25) + Reg_opt(nmax=reg_nmax), matching the
+    stepwise mode's depth (3 programs x nmax=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import gmm, lddmm
+    from difficp_tpu.models.psr import DiffPSR
+
+    d = np.load(DATA)
+    x = [d[f"x{k}"] for k in range(64)]
+    rng = np.random.default_rng(0)
+    mu0 = x[0][rng.integers(0, x[0].shape[0], 20)]
+    state, _ = gmm.create(jnp.asarray(mu0))
+    gcfg = gmm.GMMConfig(optimize_eta0=False)
+    lcfg = lddmm.make_config(sigma=0.2, lambd=5e2, version="hybrid",
+                             nt=10, scheme="Euler")
+    psr = DiffPSR(x, state, gcfg, lcfg)
+    psr.printstuff = False
+    psr.set_support_scheme("grid", rho=1.0)
+
+    t0 = time.time()
+    fes = psr.run(chunk, max_em=25, reg_nmax=reg_nmax, chunk=chunk)
+    print(f"compile+first chunk({chunk}): {time.time()-t0:.1f}s "
+          f"FE={psr.FE:.2f}", flush=True)
+
+    t0 = time.time()
+    fes = psr.run(n_iter, max_em=25, reg_nmax=reg_nmax, chunk=chunk)
+    dt = (time.time() - t0) / n_iter
+    print(json.dumps({"mode": "tpu_fused", "K": 64, "chunk": chunk,
+                      "s_per_iter": round(dt, 3), "FE_last": psr.FE,
+                      "fe_increase_events": psr.fe_increase_events}))
+
+
 def ref(n_iter=3):
     sys.path.insert(0, "/root/reference")
     sys.path.insert(0, os.path.join(HERE, "..", "tests"))
@@ -118,5 +158,10 @@ if __name__ == "__main__":
         gen()
     elif mode == "tpu":
         tpu()
+    elif mode == "tpu_fused":
+        tpu_fused(
+            chunk=int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+            reg_nmax=int(sys.argv[3]) if len(sys.argv) > 3 else 6,
+        )
     elif mode == "ref":
         ref()

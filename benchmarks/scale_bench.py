@@ -39,19 +39,38 @@ def bench_rhs():
         q = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
         p = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
         mask = jnp.ones((m,), jnp.float32)
-        op = jax.jit(make_rhs_self(0.2, 0.0, True, ti=256, tj=512))
-        o = op(q, p, mask)
+        op = make_rhs_self(0.2, 0.0, True, ti=256, tj=512)
+        fwd = jax.jit(op)
+        o = fwd(q, p, mask)
         sync_read(o[0])
         n_calls = 8
         t0 = time.time()
         for _ in range(n_calls):
-            o = op(q, p, mask)
+            o = fwd(q, p, mask)
         sync_read(o[0])
         dt = (time.time() - t0) / n_calls
         gpairs = m * m / dt / 1e9
+
+        # backward: VJP with unit cotangents (the L-BFGS hot path)
+        def loss(qq, pp):
+            vq, mgq, dc = op(qq, pp, mask)
+            return jnp.sum(vq) + jnp.sum(mgq) + dc
+
+        bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g = bwd(q, p)
+        sync_read(g[0])
+        t0 = time.time()
+        for _ in range(n_calls):
+            g = bwd(q, p)
+        sync_read(g[0])
+        dtb = (time.time() - t0) / n_calls
+        gpairs_b = m * m / dtb / 1e9
         out[f"M={m}"] = {"ms_per_call": round(dt * 1e3, 3),
-                         "Gpairs_per_s": round(gpairs, 1)}
-        print(f"pallas fused RHS M={m}: {dt*1e3:.2f} ms -> {gpairs:.0f} Gpair/s",
+                         "Gpairs_per_s": round(gpairs, 1),
+                         "bwd_ms_per_call": round(dtb * 1e3, 3),
+                         "bwd_Gpairs_per_s": round(gpairs_b, 1)}
+        print(f"pallas fused RHS M={m}: fwd {dt*1e3:.2f} ms -> {gpairs:.0f} "
+              f"Gpair/s | bwd {dtb*1e3:.2f} ms -> {gpairs_b:.0f} Gpair/s",
               flush=True)
     return out
 

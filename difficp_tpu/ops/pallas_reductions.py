@@ -17,8 +17,21 @@ as a hand-tiled TPU kernel:
   pass (fusion KeOps cannot do across its separate reductions — reference
   LDDMM.py:176-227 issues 3-6 independent kernel launches).
 
-Gradients: wrappers are ``jax.custom_vjp`` whose backward runs the blockwise
-jnp implementation's VJP (same tiling discipline, O(M) memory).
+Two kernel generations share the packed layout:
+
+- **streaming kernels** (`_rhs_self_kernel`, `_vx_kernel`, ...): per-tile
+  VPU reduction chains; handle any eta (the gradcomponent terms stream in
+  the same pass).
+- **payload-matmul kernels** (`_rhs_self_mm_kernel`, ... — the eta == 0
+  default path): every reduction is re-expressed as a kernel-sum
+  convolution A[c] = sum_j K_ij c_j against a table of payload columns, so
+  each tile pair costs ONE MXU matmul + d2/exp on the VPU.  Forward and
+  the hand-derived custom-VJP backward both ride this; measured v5e
+  M = 131k: fwd 138 -> 163, bwd 56 -> 147 Gpair/s (bwd 2.6x).
+
+Gradients: wrappers are ``jax.custom_vjp``; eta == 0 uses the hand-derived
+payload-matmul backward kernels, eta != 0 falls back to the blockwise jnp
+implementation's VJP (same tiling discipline, O(M) memory).
 
 On non-TPU backends the kernels run in interpret mode (tests).
 """
@@ -250,10 +263,16 @@ def _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, eta, withlogdet, ti=256,
         m_pad,
     )
     grid = nx_pad // ti
-    kernel = functools.partial(
-        _vx_kernel, sigma=float(sigma), eta=float(eta),
-        withlogdet=bool(withlogdet), tj=tj, d=d
-    )
+    if eta == 0.0:
+        kernel = functools.partial(
+            _vx_mm_kernel, sigma=float(sigma),
+            withlogdet=bool(withlogdet), tj=tj, d=d
+        )
+    else:
+        kernel = functools.partial(
+            _vx_kernel, sigma=float(sigma), eta=float(eta),
+            withlogdet=bool(withlogdet), tj=tj, d=d
+        )
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -443,8 +462,14 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
 
     @jax.custom_vjp
     def op(q, p, mask):
-        vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta, withlogdet,
+        if eta == 0.0:
+            # payload-matmul kernel: reductions ride the MXU (~2x the
+            # streaming kernel's throughput)
+            vq, gq, dc = _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet,
                                           ti, tj)
+        else:
+            vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta,
+                                              withlogdet, ti, tj)
         return vq, -gq, dc  # contract: (v(q), -Gq, dcost)
 
     def fwd(q, p, mask):
@@ -459,11 +484,571 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
         gv, gg, gc = cot
         if not withlogdet:
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
-        dq, dp = _rhs_self_bwd_pallas(q, p, mask, gv, gg, gc, sigma, ti, tj)
+        dq, dp = _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti, tj)
         return dq, dp, None
 
     op.defvjp(fwd, bwd)
     return op
+
+
+# ---------------------------------------------------------------------------
+# Payload-matmul (MXU) kernels — the eta == 0 speed-of-light path
+# ---------------------------------------------------------------------------
+# Every reduction of the fused self RHS *and of its VJP* is expressible as a
+# kernel-sum convolution A[c]_i = sum_j Kt_ij c_j (Kt = exp(-|dq|^2/2s^2) m_j)
+# against a fixed table of payload columns c built from products of j-side
+# rows (q, p, gv, gg).  Instead of ~40 VPU reduction chains per tile pair,
+# the kernel computes ONE (TI, TJ) x (ncols, TJ)^T matmul on the MXU; the
+# VPU only does d2 + exp + the payload-row products (~ncols/TI of the tile
+# work) and a cheap (TI, ncols) row-side recombination.  ncols: 9 fwd / 45
+# bwd at d = 2 (19 / 94 at d = 3) — all below the 128-lane MXU tile, so the
+# matmul costs the same as a single column.
+#
+# Measured TPU v5e, M = 65k, d = 2: streaming kernels 121 (fwd) / 53 (bwd)
+# Gpair/s; exp-only roofline 268; payload-matmul prototype 238 at 128 cols.
+
+# Matmul numerics (measured on the 48-col payload contraction, TPU v5e,
+# M = 65k): "default" 1-pass bf16 244 Gpair/s / 3.7e-3 max rel err;
+# "highest" 6-pass f32 99 Gpair/s / 3e-7; "split3" manual 3-pass bf16
+# splitting 138 Gpair/s / 8e-6.  split3 keeps the repo's f32 accuracy
+# invariant at ~2.6x the streaming bwd kernel's throughput.
+_MM_MODE = "split3"  # "split3" | "default" | "highest"
+
+
+def _mm_dot(k, pt):
+    """(TI, TJ) x (ncols, TJ)^T -> (TI, ncols) contraction on the MXU."""
+    dn = (((1,), (1,)), ((), ()))
+    if _MM_MODE == "split3":
+        # 3-pass bf16 emulation of the f32 product (hi*hi + hi*lo + lo*hi;
+        # the dropped lo*lo term is O(2^-16) relative)
+        k_hi = k.astype(jnp.bfloat16)
+        k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        p_hi = pt.astype(jnp.bfloat16)
+        p_lo = (pt - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(k_hi, p_hi, dn,
+                                  preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(k_hi, p_lo, dn,
+                                        preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(k_lo, p_hi, dn,
+                                         preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(k, pt, dn, preferred_element_type=jnp.float32,
+                               precision=_MM_MODE)
+
+
+def _key2(a, b):
+    """Unordered pair key (payload q_a*q_b is symmetric)."""
+    return (a, b) if a <= b else (b, a)
+
+
+def _fwd_col_table(d):
+    names = [("one",)]
+    names += [("q", e) for e in range(d)]
+    names += [("p", f) for f in range(d)]
+    names += [("qp", e, f) for e in range(d) for f in range(d)]
+    return {n: i for i, n in enumerate(names)}
+
+
+def _bwd_col_table(d):
+    names = [("one",)]
+    names += [("q", e) for e in range(d)]
+    names += [("p", f) for f in range(d)]
+    names += [("qp", e, f) for e in range(d) for f in range(d)]
+    names += [("G", f) for f in range(d)]
+    names += [("qG", e, f) for e in range(d) for f in range(d)]
+    names += [("Hp", e, f) for e in range(d) for f in range(d)]
+    names += [("Hqp", f) for f in range(d)]
+    names += [("qHp", a, e, f)
+              for a in range(d) for e in range(d) for f in range(d)]
+    names += [("qHqp", a, f) for a in range(d) for f in range(d)]
+    names += [("qqp", a, b, f)
+              for a in range(d) for b in range(a, d) for f in range(d)]
+    names += [("qq", a, b) for a in range(d) for b in range(a, d)]
+    names += [("pq",)]
+    names += [("qpq", a) for a in range(d)]
+    return {n: i for i, n in enumerate(names)}
+
+
+def _rhs_self_mm_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet,
+                        tj, d):
+    """Payload-matmul forward of the fused self RHS (eta == 0).
+
+    Same packing contract as ``_rhs_self_kernel``; out rows
+    [vq | Gq | dcost].  Row-side identities (u = 1/sigma^2):
+      vq_f   = A[p_f]
+      Gq_dd  = -u ( q_dd sum_e p_e A[p_e] - sum_e p_e A[q_dd p_e] )
+      dcost  = -u m ( (p.q) A[1] - sum_e p_e A[q_e] )
+    """
+    ti = blk_ref.shape[1]
+    n_j = full_ref.shape[1] // tj
+    u = 1.0 / (sigma * sigma)
+    idx = _fwd_col_table(d)
+    ncols = len(idx)
+
+    qi = [blk_ref[dd, :][:, None] for dd in range(d)]
+    pi = [blk_ref[d + dd, :][:, None] for dd in range(d)]
+    mi = blk_ref[2 * d, :][:, None]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        qj = [full_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        pj = [full_ref[d + dd, pl.ds(j0, tj)] for dd in range(d)]
+        mj = full_ref[2 * d, pl.ds(j0, tj)]
+        d2 = (qi[0] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (qi[dd] - qj[dd][None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 * u) * mj[None, :]
+
+        rows = [None] * ncols
+        rows[idx[("one",)]] = jnp.ones((tj,), jnp.float32)
+        for e in range(d):
+            rows[idx[("q", e)]] = qj[e]
+            rows[idx[("p", e)]] = pj[e]
+        for e in range(d):
+            for f in range(d):
+                rows[idx[("qp", e, f)]] = qj[e] * pj[f]
+        pt = jnp.stack(rows, axis=0)
+        return acc + _mm_dot(k, pt)
+
+    acc = jax.lax.fori_loop(
+        0, n_j, body, jnp.zeros((ti, ncols), jnp.float32)
+    )
+
+    def A(*key):
+        return acc[:, idx[key]][:, None]
+
+    vq = [A("p", f) for f in range(d)]
+    for dd in range(d):
+        t = qi[dd] * sum(pi[e] * A("p", e) for e in range(d))
+        t = t - sum(pi[e] * A("qp", dd, e) for e in range(d))
+        out_ref[d + dd, :] = (-u * t * mi)[:, 0]
+        out_ref[dd, :] = (vq[dd] * mi)[:, 0]
+    if withlogdet:
+        pq = sum(pi[e] * qi[e] for e in range(d))
+        dc = -u * mi * (pq * A("one") - sum(pi[e] * A("q", e)
+                                            for e in range(d)))
+        out_ref[2 * d, :] = dc[:, 0]
+    else:
+        out_ref[2 * d, :] = jnp.zeros((ti,), jnp.float32)
+    for r in range(2 * d + 1, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _rhs_self_bwd_mm_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma,
+                            tj, d):
+    """Payload-matmul backward of the self RHS (eta == 0).
+
+    Same contract as ``_rhs_self_bwd_kernel`` (16-row packing, out rows
+    [dq | dp]).  Derivation: with G = m.gv, H = m.gg, C = gc and
+    L = sum_ij Kt_ij S_ij,  S_ij = G_i.p_j + u (H_i.d_ij)(p_i.p_j)
+    - u C m_i (p_i.d_ij)  (d_ij = q_i - q_j), every dL/dq_l, dL/dp_l term
+    expands into A[c] columns; see the table in ``_bwd_col_table``.
+    """
+    ti = blk_ref.shape[1]
+    n_j = full_ref.shape[1] // tj
+    u = 1.0 / (sigma * sigma)
+    u2 = u * u
+    gc = gc_ref[0, 0]
+    idx = _bwd_col_table(d)
+    ncols = len(idx)
+
+    qi = [blk_ref[dd, :][:, None] for dd in range(d)]
+    pi = [blk_ref[d + dd, :][:, None] for dd in range(d)]
+    mi = blk_ref[2 * d, :][:, None]
+    Gi = [blk_ref[2 * d + 1 + dd, :][:, None] * mi for dd in range(d)]
+    Hi = [blk_ref[3 * d + 1 + dd, :][:, None] * mi for dd in range(d)]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        qj = [full_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        pj = [full_ref[d + dd, pl.ds(j0, tj)] for dd in range(d)]
+        mj = full_ref[2 * d, pl.ds(j0, tj)]
+        Gj = [full_ref[2 * d + 1 + dd, pl.ds(j0, tj)] * mj for dd in range(d)]
+        Hj = [full_ref[3 * d + 1 + dd, pl.ds(j0, tj)] * mj for dd in range(d)]
+
+        d2 = (qi[0] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (qi[dd] - qj[dd][None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 * u) * mj[None, :]
+
+        Hq = Hj[0] * qj[0]
+        pq = pj[0] * qj[0]
+        for e in range(1, d):
+            Hq = Hq + Hj[e] * qj[e]
+            pq = pq + pj[e] * qj[e]
+
+        rows = [None] * ncols
+        rows[idx[("one",)]] = jnp.ones((tj,), jnp.float32)
+        rows[idx[("pq",)]] = pq
+        for e in range(d):
+            rows[idx[("q", e)]] = qj[e]
+            rows[idx[("p", e)]] = pj[e]
+            rows[idx[("G", e)]] = Gj[e]
+            rows[idx[("Hqp", e)]] = Hq * pj[e]
+            rows[idx[("qpq", e)]] = qj[e] * pq
+        for e in range(d):
+            for f in range(d):
+                rows[idx[("qp", e, f)]] = qj[e] * pj[f]
+                rows[idx[("qG", e, f)]] = qj[e] * Gj[f]
+                rows[idx[("Hp", e, f)]] = Hj[e] * pj[f]
+                rows[idx[("qHqp", e, f)]] = qj[e] * Hq * pj[f]
+        for a in range(d):
+            for e in range(d):
+                for f in range(d):
+                    rows[idx[("qHp", a, e, f)]] = qj[a] * Hj[e] * pj[f]
+        for a in range(d):
+            for b in range(a, d):
+                rows[idx[("qq", a, b)]] = qj[a] * qj[b]
+                for f in range(d):
+                    rows[idx[("qqp", a, b, f)]] = qj[a] * qj[b] * pj[f]
+        pt = jnp.stack(rows, axis=0)
+        return acc + _mm_dot(k, pt)
+
+    acc = jax.lax.fori_loop(
+        0, n_j, body, jnp.zeros((ti, ncols), jnp.float32)
+    )
+
+    def A(*key):
+        return acc[:, idx[key]][:, None]
+
+    Hq_i = sum(Hi[e] * qi[e] for e in range(d))
+    pq_i = sum(pi[e] * qi[e] for e in range(d))
+
+    # ---- dp -----------------------------------------------------------
+    for f in range(d):
+        dp = A("G", f)
+        dp = dp + u * (A("Hqp", f) - sum(qi[e] * A("Hp", e, f)
+                                         for e in range(d)))
+        dp = dp + u * (Hq_i * A("p", f) - sum(Hi[e] * A("qp", e, f)
+                                              for e in range(d)))
+        dp = dp - u * gc * (qi[f] * A("one") - A("q", f))
+        out_ref[d + f, :] = (dp * mi)[:, 0]
+
+    # ---- dq -----------------------------------------------------------
+    sum_G_Ap = sum(Gi[e] * A("p", e) for e in range(d))
+    sum_p_Ap = sum(pi[e] * A("p", e) for e in range(d))
+    sum_p_Aq = sum(pi[e] * A("q", e) for e in range(d))
+    for dd in range(d):
+        # T1a: k-derivative (row role) of the gv.vq term
+        t = -u * (qi[dd] * sum_G_Ap
+                  - sum(Gi[e] * A("qp", dd, e) for e in range(d)))
+        # T1b: k-derivative (row) of the gg.(-Gq) term
+        s = jnp.zeros((ti, 1), jnp.float32)
+        for e in range(d):
+            for f in range(d):
+                s = s + Hi[e] * pi[f] * (
+                    qi[dd] * qi[e] * A("p", f)
+                    - qi[dd] * A("qp", e, f)
+                    - qi[e] * A("qp", dd, f)
+                    + A("qqp", *_key2(dd, e), f)
+                )
+        t = t - u2 * s
+        # T1c: k-derivative (row) of the gc.dc term
+        t = t + u2 * gc * (
+            qi[dd] * pq_i * A("one")
+            - qi[dd] * sum_p_Aq
+            - pq_i * A("q", dd)
+            + sum(pi[f] * A("qq", *_key2(dd, f)) for f in range(d))
+        )
+        # T2a: k-derivative (col role) of the gv.vq term
+        t = t + u * sum(pi[f] * (A("qG", dd, f) - qi[dd] * A("G", f))
+                        for f in range(d))
+        # T2b: k-derivative (col) of the gg.(-Gq) term
+        s = jnp.zeros((ti, 1), jnp.float32)
+        for f in range(d):
+            s = s + pi[f] * (
+                A("qHqp", dd, f)
+                - qi[dd] * A("Hqp", f)
+                - sum(qi[e] * A("qHp", dd, e, f) for e in range(d))
+                + qi[dd] * sum(qi[e] * A("Hp", e, f) for e in range(d))
+            )
+        t = t + u2 * s
+        # T2c: k-derivative (col) of the gc.dc term
+        t = t - u2 * gc * (
+            A("qpq", dd)
+            - qi[dd] * A("pq")
+            - sum(qi[e] * A("qp", dd, e) for e in range(d))
+            + qi[dd] * sum(qi[e] * A("p", e) for e in range(d))
+        )
+        # T3: delta-derivative (row role)
+        t = t + u * Hi[dd] * sum_p_Ap - u * gc * pi[dd] * A("one")
+        # T4: delta-derivative (col role)
+        t = t - u * sum(pi[f] * A("Hp", dd, f) for f in range(d))
+        t = t + u * gc * A("p", dd)
+        out_ref[dd, :] = (t * mi)[:, 0]
+
+    for r in range(2 * d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet, ti=256, tj=512):
+    """Payload-matmul forward wrapper (same contract as
+    ``_rhs_self_fwd_pallas``, eta == 0 only)."""
+    m, d = q.shape
+    step = max(ti, tj)
+    mpad = -(-m // step) * step
+    packed = _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)] + [mask],
+        mpad,
+    )
+    kernel = functools.partial(
+        _rhs_self_mm_kernel, sigma=float(sigma),
+        withlogdet=bool(withlogdet), tj=tj, d=d,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mpad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
+        interpret=_interpret(),
+    )(packed, packed)
+    vq = out[0:d, :m].T
+    gq = out[d : 2 * d, :m].T
+    dc = jnp.sum(out[2 * d])
+    return vq, gq, dc
+
+
+def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):
+    """Payload-matmul backward wrapper (same contract as
+    ``_rhs_self_bwd_pallas``)."""
+    m, d = q.shape
+    step = max(ti, tj)
+    mpad = -(-m // step) * step
+    rows16 = 16
+    packed = jnp.zeros((rows16, mpad), jnp.float32)
+    cols = (
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
+        + [mask] + [gv[:, dd] for dd in range(d)] + [gg[:, dd] for dd in range(d)]
+    )
+    for i, c in enumerate(cols):
+        packed = packed.at[i, :m].set(c)
+    kernel = functools.partial(_rhs_self_bwd_mm_kernel, sigma=float(sigma),
+                               tj=tj, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mpad // ti,),
+        in_specs=[
+            pl.BlockSpec((rows16, ti), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
+        interpret=_interpret(),
+    )(packed, packed, jnp.reshape(gc.astype(jnp.float32), (1, 1)))
+    dq = out[0:d, :m].T
+    dp = out[d : 2 * d, :m].T
+    return dq, dp
+
+
+def _vx_mm_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):
+    """Payload-matmul forward of the cross terms (eta == 0): one x-tile of
+    (v(x), per-point divergence cost).  Same contract as ``_vx_kernel``.
+
+    Identities (delta = x_i - q_j, u = 1/s^2):
+      vx_f = A[p_f];  dc = +u m_x ( sum_e x_e A[p_e] - A[(q.p)] )
+    """
+    ti = xblk_ref.shape[1]
+    n_j = q_ref.shape[1] // tj
+    u = 1.0 / (sigma * sigma)
+    ncols = d + 1
+
+    xi = [xblk_ref[dd, :][:, None] for dd in range(d)]
+    mxi = xblk_ref[d, :][:, None]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        qj = [q_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        pj = [q_ref[d + dd, pl.ds(j0, tj)] for dd in range(d)]
+        mj = q_ref[2 * d, pl.ds(j0, tj)]
+        d2 = (xi[0] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (xi[dd] - qj[dd][None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 * u) * mj[None, :]
+        qdotp = qj[0] * pj[0]
+        for e in range(1, d):
+            qdotp = qdotp + qj[e] * pj[e]
+        pt = jnp.stack(pj + [qdotp], axis=0)
+        return acc + _mm_dot(k, pt)
+
+    acc = jax.lax.fori_loop(0, n_j, body,
+                            jnp.zeros((ti, ncols), jnp.float32))
+    for dd in range(d):
+        out_ref[dd, :] = (acc[:, dd][:, None] * mxi)[:, 0]
+    if withlogdet:
+        dc = u * mxi * (
+            sum(xi[e] * acc[:, e][:, None] for e in range(d))
+            - acc[:, d][:, None]
+        )
+        out_ref[d, :] = dc[:, 0]
+    else:
+        out_ref[d, :] = jnp.zeros((ti,), jnp.float32)
+    for r in range(d + 1, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _ext_bwd_dx_mm_kernel(xblk_ref, q_ref, out_ref, *, sigma, tj, d):
+    """Payload-matmul dx of the cross terms.  Same contract as
+    ``_ext_bwd_dx_kernel``.
+
+    With Gx = m_x gx, C = gc, delta = x_l - q_j:
+      dx_dd = -u ( x_dd sum_e Gx_e A[p_e] - sum_e Gx_e A[q_dd p_e] )
+              - u^2 C m_x ( x_dd sum_e x_e A[p_e] - x_dd A[(q.p)]
+                            - sum_e x_e A[q_dd p_e] + A[q_dd (q.p)] )
+              + u C m_x A[p_dd]
+    """
+    ti = xblk_ref.shape[1]
+    n_j = q_ref.shape[1] // tj
+    u = 1.0 / (sigma * sigma)
+    gc = q_ref[2 * d + 1, 0]
+    # cols: p (d) | qp(a,e) (d^2) | (q.p) (1) | q_a (q.p) (d)
+    ncols = d + d * d + 1 + d
+
+    def c_p(e):
+        return e
+
+    def c_qp(a, e):
+        return d + a * d + e
+
+    c_qdp = d + d * d
+
+    def c_qqdp(a):
+        return d + d * d + 1 + a
+
+    xi = [xblk_ref[dd, :][:, None] for dd in range(d)]
+    mxi = xblk_ref[d, :][:, None]
+    gxi = [xblk_ref[d + 1 + dd, :][:, None] * mxi for dd in range(d)]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        qj = [q_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        pj = [q_ref[d + dd, pl.ds(j0, tj)] for dd in range(d)]
+        mj = q_ref[2 * d, pl.ds(j0, tj)]
+        d2 = (xi[0] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (xi[dd] - qj[dd][None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 * u) * mj[None, :]
+        qdotp = qj[0] * pj[0]
+        for e in range(1, d):
+            qdotp = qdotp + qj[e] * pj[e]
+        rows = [None] * ncols
+        for e in range(d):
+            rows[c_p(e)] = pj[e]
+            rows[c_qqdp(e)] = qj[e] * qdotp
+            for a in range(d):
+                rows[c_qp(a, e)] = qj[a] * pj[e]
+        rows[c_qdp] = qdotp
+        pt = jnp.stack(rows, axis=0)
+        return acc + _mm_dot(k, pt)
+
+    acc = jax.lax.fori_loop(0, n_j, body,
+                            jnp.zeros((ti, ncols), jnp.float32))
+
+    def A(c):
+        return acc[:, c][:, None]
+
+    sum_x_Ap = sum(xi[e] * A(c_p(e)) for e in range(d))
+    for dd in range(d):
+        t = -u * (xi[dd] * sum(gxi[e] * A(c_p(e)) for e in range(d))
+                  - sum(gxi[e] * A(c_qp(dd, e)) for e in range(d)))
+        t = t - u * u * gc * mxi * (
+            xi[dd] * sum_x_Ap - xi[dd] * A(c_qdp)
+            - sum(xi[e] * A(c_qp(dd, e)) for e in range(d))
+            + A(c_qqdp(dd))
+        )
+        t = t + u * gc * mxi * A(c_p(dd))
+        out_ref[dd, :] = t[:, 0]
+    for r in range(d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
+
+
+def _ext_bwd_dqdp_mm_kernel(qblk_ref, x_ref, out_ref, *, sigma, tj, d):
+    """Payload-matmul (dq, dp) of the cross terms.  Same contract as
+    ``_ext_bwd_dqdp_kernel``.  Streams x tiles; payload columns are built
+    from x-side rows (Gx = m_x gx folded):
+
+      dp_f  = m_q [ A[Gx_f] + u C ( A[m x_f] - q_f A[m] ) ]
+      dq_dd = m_q [ u sum_f p_f ( A[x_dd Gx_f] - q_dd A[Gx_f] )
+                    + u^2 C ( sum_f p_f A[m x_dd x_f] - (q.p) A[m x_dd]
+                              - q_dd sum_f p_f A[m x_f] + q_dd (q.p) A[m] )
+                    - u C p_dd A[m] ]
+    """
+    ti = qblk_ref.shape[1]
+    n_j = x_ref.shape[1] // tj
+    u = 1.0 / (sigma * sigma)
+    gc = qblk_ref[2 * d + 1, 0]
+    # cols: Gx_f (d) | x_a Gx_f (d^2) | m (1) | m x_f (d) | m x_a x_b (sym)
+    sym = [(a, b) for a in range(d) for b in range(a, d)]
+    ncols = d + d * d + 1 + d + len(sym)
+
+    def c_G(f):
+        return f
+
+    def c_xG(a, f):
+        return d + a * d + f
+
+    c_m = d + d * d
+
+    def c_mx(f):
+        return d + d * d + 1 + f
+
+    def c_mxx(a, b):
+        return d + d * d + 1 + d + sym.index(_key2(a, b))
+
+    ql = [qblk_ref[dd, :][:, None] for dd in range(d)]
+    pi_ = [qblk_ref[d + dd, :][:, None] for dd in range(d)]
+    mql = qblk_ref[2 * d, :][:, None]
+
+    def body(jt, acc):
+        j0 = jt * tj
+        xj = [x_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        mxj = x_ref[d, pl.ds(j0, tj)]
+        gxj = [x_ref[d + 1 + dd, pl.ds(j0, tj)] * mxj for dd in range(d)]
+        d2 = (ql[0] - xj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (ql[dd] - xj[dd][None, :]) ** 2
+        k = jnp.exp(-0.5 * d2 * u)
+        rows = [None] * ncols
+        rows[c_m] = mxj
+        for f in range(d):
+            rows[c_G(f)] = gxj[f]
+            rows[c_mx(f)] = mxj * xj[f]
+            for a in range(d):
+                rows[c_xG(a, f)] = xj[a] * gxj[f]
+        for a, b in sym:
+            rows[c_mxx(a, b)] = mxj * xj[a] * xj[b]
+        pt = jnp.stack(rows, axis=0)
+        return acc + _mm_dot(k, pt)
+
+    acc = jax.lax.fori_loop(0, n_j, body,
+                            jnp.zeros((ti, ncols), jnp.float32))
+
+    def A(c):
+        return acc[:, c][:, None]
+
+    qp_l = sum(ql[e] * pi_[e] for e in range(d))
+    for f in range(d):
+        dp = A(c_G(f)) + u * gc * (A(c_mx(f)) - ql[f] * A(c_m))
+        out_ref[d + f, :] = (dp * mql)[:, 0]
+    for dd in range(d):
+        t = u * sum(pi_[f] * (A(c_xG(dd, f)) - ql[dd] * A(c_G(f)))
+                    for f in range(d))
+        t = t + u * u * gc * (
+            sum(pi_[f] * A(c_mxx(dd, f)) for f in range(d))
+            - qp_l * A(c_mx(dd))
+            - ql[dd] * sum(pi_[f] * A(c_mx(f)) for f in range(d))
+            + ql[dd] * qp_l * A(c_m)
+        )
+        t = t - u * gc * pi_[dd] * A(c_m)
+        out_ref[dd, :] = (t * mql)[:, 0]
+    for r in range(2 * d, _ROWS):
+        out_ref[r, :] = jnp.zeros((ti,), jnp.float32)
 
 
 def _ext_bwd_dx_kernel(xblk_ref, q_ref, out_ref, *, sigma, tj, d):
@@ -622,7 +1207,8 @@ def _ext_bwd_pallas(q, p, x, mq, mx, gx, gc, sigma, ti=256, tj=512):
         xpack = xpack.at[i, :nx].set(c)
 
     dx_out = pl.pallas_call(
-        functools.partial(_ext_bwd_dx_kernel, sigma=float(sigma), tj=tj, d=d),
+        functools.partial(_ext_bwd_dx_mm_kernel, sigma=float(sigma), tj=tj,
+                          d=d),
         grid=(nx_pad // ti,),
         in_specs=[
             pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -636,7 +1222,8 @@ def _ext_bwd_pallas(q, p, x, mq, mx, gx, gc, sigma, ti=256, tj=512):
     dx = dx_out[0:d, :nx].T
 
     dqdp_out = pl.pallas_call(
-        functools.partial(_ext_bwd_dqdp_kernel, sigma=float(sigma), tj=tj, d=d),
+        functools.partial(_ext_bwd_dqdp_mm_kernel, sigma=float(sigma), tj=tj,
+                          d=d),
         grid=(m_pad // ti,),
         in_specs=[
             pl.BlockSpec((_ROWS, ti), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -747,8 +1334,9 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
 
     Support terms (vq, Gq over the small support set) run through the self
     kernel; the data-point terms (vx and the divergence cost, the large-Nx
-    side) run the streaming ``_vx_kernel``.  Both handle any eta.  Backward:
-    hand-derived Pallas kernels for eta == 0, blockwise VJP for eta != 0.
+    side) run the payload-matmul ``_vx_mm_kernel`` (eta == 0) or the
+    streaming ``_vx_kernel`` (eta != 0).  Backward: payload-matmul Pallas
+    kernels for eta == 0, blockwise VJP for eta != 0.
     """
     self_op = make_rhs_self(sigma, eta, False, ti, tj)
 
@@ -781,7 +1369,7 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
         if not withlogdet:
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
         # support-support terms (vq, mgq): self backward with gc = 0
-        dq1, dp1 = _rhs_self_bwd_pallas(
+        dq1, dp1 = _rhs_self_bwd_mm(
             q, p, maskq, gv, gg, jnp.zeros((), q.dtype), sigma, ti, tj
         )
         # cross terms (vx, dc): streamed ext backward

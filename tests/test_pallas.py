@@ -23,9 +23,9 @@ def test_pallas_rhs_matches_dense(withlogdet):
     vq, mgq, dc = op(Q, P, MASK)
     vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, 0.0, withlogdet, MASK)
     np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4,
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
 
 
@@ -37,7 +37,7 @@ def test_pallas_rhs_3d():
     vq, mgq, dc = op(q3, p3, m3)
     vq_d, mgq_d, dc_d = R.lddmm_rhs_self(q3, p3, SIG, 0.0, True, m3)
     np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
 
 
@@ -56,8 +56,9 @@ def test_pallas_custom_vjp_matches_dense_grad():
         argnums=(0, 1),
     )(Q, P)
     for a, b in zip(g_pallas, g_dense):
+        # atol ~ split3 noise floor relative to the O(50) gradient scale
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
-                                   atol=1e-4)
+                                   atol=1e-3)
 
 
 def test_pallas_eta_fallback():
@@ -65,9 +66,9 @@ def test_pallas_eta_fallback():
     vq, mgq, dc = op(Q, P, MASK)
     vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, 0.25, True, MASK)
     np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4,
-                               atol=1e-5)
+                               atol=5e-5)
 
 
 def test_rhs_ext_pallas_matches_dense():
@@ -78,9 +79,9 @@ def test_rhs_ext_pallas_matches_dense():
     op = make_rhs_ext(SIG, 0.0, True, ti=64, tj=64)
     vq, mgq, dc, vx = op(Q, P, x, MASK, mx)
     vq_d, mgq_d, dc_d, vx_d = R.lddmm_rhs_ext(Q, P, x, SIG, 0.0, True, MASK, mx)
-    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d), rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
 
 
@@ -103,4 +104,6 @@ def test_rhs_ext_pallas_grads():
         argnums=(0, 1, 2),
     )(Q, P, x)
     for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+        # atol ~ split3 noise floor relative to the O(50) gradient scale
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
