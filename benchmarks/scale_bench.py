@@ -179,6 +179,83 @@ def bench_std(k=10, n=16384, ny=1024, n_iter=3):
             "E": round(psr.E, 4), "increase_events": psr.e_increase_events}
 
 
+def bench_phases(m=131072, c=64, nt=10, ls_steps=12):
+    """Per-phase wall-clock breakdown of a large two-set outer iteration
+    (VERDICT r1 item 10): EM step, geodesic shoot (nt fwd RHS), full
+    registration loss value+grad (fwd+bwd shoot), and a one-step Reg_opt
+    program — so the line-search eval count is measured, not guessed."""
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import gmm, lddmm
+    from difficp_tpu.models.psr import DiffPSR
+
+    rng = np.random.default_rng(0)
+    t = rng.uniform(0, 2 * np.pi, size=m).astype(np.float32)
+    x_a = np.stack([0.5 + 0.4 * (t / 7) * np.cos(t),
+                    0.5 + 0.3 * np.sin(t)], 1).astype(np.float32)
+    x_a += 0.02 * rng.normal(size=(m, 2)).astype(np.float32)
+    mu0 = x_a[rng.integers(0, m, c)]
+    state, _ = gmm.create(jnp.asarray(mu0), sigma=0.05)
+    gcfg = gmm.GMMConfig(optimize_eta0=False)
+    lcfg = lddmm.make_config(sigma=0.1, lambd=200.0, version="hybrid",
+                             nt=nt, scheme="Euler")
+
+    xa = jnp.asarray(x_a)
+    mask = jnp.ones((m,), jnp.float32)
+    out = {}
+
+    def timeit(name, fn, n_calls=4):
+        r = fn()
+        sync_read(r if isinstance(r, jax.Array) else r[0])
+        t0 = time.time()
+        for _ in range(n_calls):
+            r = fn()
+        sync_read(r if isinstance(r, jax.Array) else r[0])
+        dt = (time.time() - t0) / n_calls
+        out[name] = round(dt * 1e3, 1)
+        print(f"phase {name}: {dt*1e3:.1f} ms", flush=True)
+        return r
+
+    em = jax.jit(lambda s, x: gmm.em_step(s, x, mask, gcfg).state.mu)
+    timeit("em_step_ms", lambda: em(state, xa))
+
+    shoot = jax.jit(
+        lambda p: lddmm.shoot(lcfg, xa, p, None, mask)[0].q
+    )
+    p0 = jnp.zeros_like(xa) + 1e-3
+    timeit("shoot_fwd_ms", lambda: shoot(p0))
+
+    y = xa + 0.01
+    sig2 = jnp.asarray(0.0025, jnp.float32)
+
+    def lossfn(p):
+        final, _ = lddmm.shoot(lcfg, xa, p, None, mask)
+        quad = jnp.sum(mask[:, None] * (final.q - y) ** 2) / (2.0 * sig2)
+        return lddmm.trajloss(lcfg, xa, p, final.cost, mask) + quad
+
+    lg = jax.jit(jax.value_and_grad(lossfn))
+    timeit("loss_grad_ms", lambda: lg(p0)[1])
+
+    psr = DiffPSR(x_a, state, gcfg, lcfg)
+    psr.printstuff = False
+    psr.GMM_opt(max_iterations=3, tol=1e-3)
+    t0 = time.time()
+    psr.Reg_opt(tol=1e-3, nmax=1, inner=1, ls_steps=ls_steps)
+    first = time.time() - t0
+    t0 = time.time()
+    psr.Reg_opt(tol=1e-3, nmax=1, inner=1, ls_steps=ls_steps)
+    dt = time.time() - t0
+    out["regopt_first_s"] = round(first, 2)
+    out["regopt_steady_s"] = round(dt, 2)
+    out["inferred_ls_evals_steady"] = round(dt * 1e3 / out["loss_grad_ms"], 1)
+    print(f"Reg_opt(nmax=1, inner=1): first {first:.1f}s (compile), steady "
+          f"{dt:.1f}s ~= {out['inferred_ls_evals_steady']} loss+grad evals",
+          flush=True)
+    out["M"] = m
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
@@ -195,4 +272,7 @@ if __name__ == "__main__":
         res["atlas"] = bench_atlas()
     if which in ("all", "std"):
         res["std"] = bench_std()
+    if which == "phases":
+        m = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+        res["phases"] = bench_phases(m)
     print(json.dumps(res))

@@ -32,33 +32,38 @@ def _tiles(n, tile):
     return -(-n // tile)
 
 
-@partial(jax.checkpoint, static_argnums=(4, 5, 6))
-def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
-    """Fused self-RHS accumulated over j-tiles.
+@partial(jax.checkpoint, static_argnums=(7, 8, 9))
+def _rhs_cross_blockwise(qr, pr, mr, qc, pc, mc, sigma, eta, withlogdet, tile):
+    """Fused RHS rows-against-cols, accumulated over col tiles.
 
-    maskj: (M,) column mask (already includes padding); row outputs for all M.
+    Rows (``qr``/``pr``) are the output index i; cols (``qc``/``pc``) are
+    streamed j-tiles.  The self RHS is the special case rows == cols; the
+    ring-sharded RHS (parallel/ring.py) calls this once per rotating shard.
+    ``mr`` only weights the scalar logdet cost (row masking of vq/gq is the
+    caller's job, matching the self path).
     """
-    m, d = q.shape
-    nt = _tiles(m, tile)
-    mpad = nt * tile
-    qj = _pad_to(q, mpad).reshape(nt, tile, d)
-    pj = _pad_to(p, mpad).reshape(nt, tile, d)
-    mj = _pad_to(maskj, mpad).reshape(nt, tile)
+    m, d = qr.shape
+    n = qc.shape[0]
+    nt = _tiles(n, tile)
+    npad = nt * tile
+    qj = _pad_to(qc, npad).reshape(nt, tile, d)
+    pj = _pad_to(pc, npad).reshape(nt, tile, d)
+    mj = _pad_to(mc, npad).reshape(nt, tile)
 
     sig2 = sigma**2
 
     def body(acc, tile_in):
         vq, gq, dcost = acc
         qjt, pjt, mjt = tile_in
-        diff = q[:, None, :] - qjt[None, :, :]        # (M, T, D)
+        diff = qr[:, None, :] - qjt[None, :, :]       # (M, T, D)
         d2 = jnp.sum(diff * diff, axis=-1)
         k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
         vq = vq + jnp.matmul(k, pjt, precision="highest")
-        dots = jnp.matmul(p, pjt.T, precision="highest")                               # (M, T)
+        dots = jnp.matmul(pr, pjt.T, precision="highest")                              # (M, T)
         gq = gq + jnp.einsum("mt,mtd->md", k * dots, -diff, precision="highest") / sig2
         if eta != 0.0:
             vq = vq - eta * (jnp.einsum("mt,mtd->md", k, -diff, precision="highest") / sig2)
-            cb = p[:, None, :] - pjt[None, :, :]
+            cb = pr[:, None, :] - pjt[None, :, :]
             proj = jnp.sum(diff * cb, axis=-1)
             hess = jnp.einsum(
                 "mt,mtd->md", k, diff * proj[:, :, None] / sig2**2 - cb / sig2,
@@ -68,17 +73,17 @@ def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
             glap = jnp.einsum("mt,mtd->md", coef, -diff, precision="highest")
             gq = gq - eta * hess - eta**2 * glap
         if withlogdet:
-            km = k * maskj[:, None]
-            dc = jnp.einsum("mt,mtd,md->", km, -diff, p, precision="highest") / sig2
+            km = k * mr[:, None]
+            dc = jnp.einsum("mt,mtd,md->", km, -diff, pr, precision="highest") / sig2
             if eta != 0.0:
                 dc = dc + eta * jnp.sum(km * (d2 / sigma**4 - d / sigma**2))
             dcost = dcost + dc
         return (vq, gq, dcost), None
 
     acc0 = (
-        jnp.zeros((m, d), q.dtype),
-        jnp.zeros((m, d), q.dtype),
-        jnp.zeros((), q.dtype),
+        jnp.zeros((m, d), qr.dtype),
+        jnp.zeros((m, d), qr.dtype),
+        jnp.zeros((), qr.dtype),
     )
     # checkpoint each tile step: the backward pass recomputes the (M, tile)
     # kernel tile instead of storing it (otherwise grads materialize
@@ -87,6 +92,33 @@ def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
         jax.checkpoint(body, prevent_cse=False), acc0, (qj, pj, mj)
     )
     return vq, gq, dcost
+
+
+def _rhs_self_blockwise(q, p, maskj, sigma, eta, withlogdet, tile):
+    """Fused self-RHS accumulated over j-tiles.
+
+    maskj: (M,) column mask (already includes padding); row outputs for all M.
+    """
+    return _rhs_cross_blockwise(
+        q, p, maskj, q, p, maskj, sigma, eta, withlogdet, tile
+    )
+
+
+def lddmm_rhs_cross(qr, pr, qc, pc, sigma, eta, withlogdet, mask_r=None,
+                    mask_c=None, tile=1024):
+    """Cross-shard fused RHS: row outputs (vq, -Gq) for ``qr`` against the
+    point set ``qc`` (streamed), plus the rows' share of the logdet cost.
+    Summing this over a partition of the full set's cols reproduces
+    ``lddmm_rhs_self`` exactly (the ring schedule of parallel/ring.py)."""
+    mr = mask_r if mask_r is not None else jnp.ones((qr.shape[0],), qr.dtype)
+    mc = mask_c if mask_c is not None else jnp.ones((qc.shape[0],), qc.dtype)
+    vq, gq, dcost = _rhs_cross_blockwise(
+        qr, pr, mr, qc, pc, mc, sigma, eta, withlogdet, tile
+    )
+    if mask_r is not None:
+        vq = vq * mask_r[:, None]
+        gq = gq * mask_r[:, None]
+    return vq, -gq, dcost
 
 
 def lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask_q=None, tile=1024):
@@ -225,25 +257,26 @@ def grad_kred(x, y, sigma, mask_y=None, tile=1024):
     return out
 
 
-def hamiltonian(q, p, sigma, eta, mask_q=None, tile=1024):
-    """Blockwise H(q,p) incl. the gradcomponent eta terms (LDDMM.py:142-159)
-    — the large-M path the dense hamiltonian cannot represent."""
-    m, d = q.shape
-    qj, mj, (pj,) = _stream_y(q, (p,), mask_q, tile)
+def hamiltonian_cross(qr, pr, qc, pc, sigma, eta, mask_r=None, mask_c=None,
+                      tile=1024):
+    """Rows-against-cols share of the blockwise Hamiltonian: summing over a
+    partition of the cols reproduces ``hamiltonian`` (ring schedule)."""
+    d = qr.shape[1]
+    qj, mj, (pj,) = _stream_y(qc, (pc,), mask_c, tile)
     sig2 = sigma**2
-    mrow = mask_q if mask_q is not None else None
+    mrow = mask_r if mask_r is not None else None
 
     def body(acc, tin):
         qjt, mjt, pjt = tin
-        diff = q[:, None, :] - qjt[None, :, :]
+        diff = qr[:, None, :] - qjt[None, :, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
         if mrow is not None:
             k = k * mrow[:, None]
-        h = 0.5 * jnp.einsum("mt,md,td->", k, p, pjt, precision="highest")
+        h = 0.5 * jnp.einsum("mt,md,td->", k, pr, pjt, precision="highest")
         if eta != 0.0:
             bsum = jnp.einsum(
-                "mt,mtd,md->", k, -diff, p, precision="highest"
+                "mt,mtd,md->", k, -diff, pr, precision="highest"
             ) / sig2
             csum = jnp.sum(k * (d2 / sig2**2 - d / sig2))
             h = h - eta * bsum - 0.5 * eta**2 * csum
@@ -251,9 +284,15 @@ def hamiltonian(q, p, sigma, eta, mask_q=None, tile=1024):
 
     h, _ = jax.lax.scan(
         jax.checkpoint(body, prevent_cse=False),
-        jnp.zeros((), q.dtype), (qj, mj, pj),
+        jnp.zeros((), qr.dtype), (qj, mj, pj),
     )
     return h
+
+
+def hamiltonian(q, p, sigma, eta, mask_q=None, tile=1024):
+    """Blockwise H(q,p) incl. the gradcomponent eta terms (LDDMM.py:142-159)
+    — the large-M path the dense hamiltonian cannot represent."""
+    return hamiltonian_cross(q, p, q, p, sigma, eta, mask_q, mask_q, tile)
 
 
 # ---------------------------------------------------------------------------

@@ -2,108 +2,178 @@
 
 The SP/CP analog of SURVEY §5 ("long-context"): when a single point set
 exceeds one chip (100k+ points), shard the points over the mesh and rotate
-the j-side tiles around the ring — each device computes its i-shard's
-partial reduction against every rotating tile, so the full O(M^2) pair space
-is covered with O(M/nd) memory per device and only neighbour communication
-(``lax.ppermute`` over ICI; the explicit-RDMA pallas variant of the same
-schedule is a drop-in upgrade).
+the j-side shards around the ring — each device computes its i-shard's
+partial reduction against every rotating shard, so the full O(M^2) pair
+space is covered with O(M/nd) memory per device and only neighbour
+communication (``lax.ppermute`` over ICI).
 
-``ring_rhs_self`` matches ``ops.reductions.lddmm_rhs_self`` semantics for
-the eta == 0 (classic/hybrid) field; masks handle padding as everywhere.
-Usable inside ``shard_map`` (see ``ring_shoot`` and the equivalence test).
+Inside each rotation the cross terms are *streamed* through the blockwise
+tiled kernels (``ops.blockwise.lddmm_rhs_cross`` / ``_rhs_ext_blockwise``),
+so per-device memory stays O(shard x tile) — a 1M-point set on 8 devices
+never materializes more than a (131k, tile) slab.  All reductions are
+reverse-differentiable (the rotation loop is a ``lax.scan``; ppermute
+transposes to the reverse permutation), which is what lets a full L-BFGS
+registration run on sharded momenta (``parallel.twoset``).
+
+``ring_rhs_self`` / ``ring_rhs_ext`` match the semantics of
+``ops.reductions.lddmm_rhs_self`` / ``lddmm_rhs_ext`` (reference
+LDDMM.py:176-227) for any eta; masks handle padding as everywhere.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-
-def _tile_terms(qi, pi, mi, qj, pj, mj, sigma, withlogdet):
-    """Dense cross-tile terms: rows = local i-shard, cols = rotating tile."""
-    sig2 = sigma * sigma
-    diff = qi[:, None, :] - qj[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    k = jnp.exp(-d2 / (2.0 * sig2)) * mj[None, :]
-    vq = jnp.matmul(k, pj, precision="highest")
-    dots = jnp.matmul(pi, pj.T, precision="highest")
-    gq = jnp.einsum("mt,mtd->md", k * dots, -diff, precision="highest") / sig2
-    if withlogdet:
-        dc = (
-            jnp.einsum("mt,mtd,md->", k * mi[:, None], -diff, pi,
-                       precision="highest")
-            / sig2
-        )
-    else:
-        dc = jnp.zeros((), qi.dtype)
-    return vq, gq, dc
+from difficp_tpu.ops import blockwise as bw
 
 
-def ring_rhs_self(q, p, mask, sigma, withlogdet, axis_name: str):
+def _ring_scan(body, carry0, rotating, axis_name):
+    """Scan ``body`` nd times, rotating ``rotating`` (a tuple of per-shard
+    arrays) one neighbour step around the ring after each application."""
+    nd = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % nd) for i in range(nd)]
+
+    def step(state, _):
+        carry, rot = state
+        carry = body(carry, rot)
+        rot = tuple(jax.lax.ppermute(r, axis_name, perm) for r in rot)
+        return (carry, rot), None
+
+    (carry, _), _ = jax.lax.scan(
+        jax.checkpoint(step, prevent_cse=False), (carry0, rotating), None,
+        length=nd,
+    )
+    return carry
+
+
+def ring_rhs_self(q, p, mask, sigma, withlogdet, axis_name: str,
+                  eta: float = 0.0, tile: int = 1024):
     """Fused self RHS over a point-sharded set (inside shard_map).
 
     q/p/mask are the LOCAL shard; returns local (vq, -Gq) rows and the
     GLOBAL dcost (psum-reduced).
     """
-    nd = jax.lax.axis_size(axis_name)
-    perm = [(i, (i + 1) % nd) for i in range(nd)]
 
-    def body(i, carry):
-        vq, gq, dc, qr, pr, mr = carry
-        dvq, dgq, ddc = _tile_terms(q, p, mask, qr, pr, mr, sigma, withlogdet)
-        vq = vq + dvq
-        gq = gq + dgq
-        dc = dc + ddc
-        qr = jax.lax.ppermute(qr, axis_name, perm)
-        pr = jax.lax.ppermute(pr, axis_name, perm)
-        mr = jax.lax.ppermute(mr, axis_name, perm)
-        return (vq, gq, dc, qr, pr, mr)
+    def body(carry, rot):
+        vq, gq, dc = carry
+        qr, pr, mr = rot
+        dvq, dgq, ddc = bw._rhs_cross_blockwise(
+            q, p, mask, qr, pr, mr, sigma, eta, withlogdet, tile
+        )
+        return (vq + dvq, gq + dgq, dc + ddc)
 
-    carry0 = (
-        jnp.zeros_like(q), jnp.zeros_like(q), jnp.zeros((), q.dtype),
-        q, p, mask,
-    )
-    vq, gq, dc, *_ = jax.lax.fori_loop(0, nd, body, carry0)
+    carry0 = (jnp.zeros_like(q), jnp.zeros_like(q), jnp.zeros((), q.dtype))
+    vq, gq, dc = _ring_scan(body, carry0, (q, p, mask), axis_name)
     dc = jax.lax.psum(dc, axis_name)
     vq = vq * mask[:, None]
     gq = gq * mask[:, None]
     return vq, -gq, dc
 
 
-def make_ring_shoot(sigma: float, lambd: float, withlogdet: bool, nt: int,
-                    mesh: Mesh, axis: str = "points",
-                    scheme: str = "Euler"):
-    """Point-sharded geodesic shoot: Euler/Ralston steps whose RHS is the
-    ring reduction.  Returns a jitted fn (q0_sharded, p0_sharded, mask) ->
-    (q1, p1, divcost)."""
+def ring_rhs_ext(q, p, x, mask_q, mask_x, sigma, withlogdet, axis_name: str,
+                 eta: float = 0.0, tile: int = 1024):
+    """Fused self+external RHS, BOTH sets point-sharded (inside shard_map).
 
-    def local_shoot(q, p, mask):
+    The (q, p) support shards rotate; each device folds them into its local
+    q rows (self terms) and its local x rows (advection + logdet cost),
+    matching ``ops.reductions.lddmm_rhs_ext``: returns local (vq, -Gq, vx)
+    rows and the GLOBAL dcost.
+    """
+
+    def body(carry, rot):
+        vq, gq, vx, dc = carry
+        qr, pr, mr = rot
+        dvq, dgq, _ = bw._rhs_cross_blockwise(
+            q, p, mask_q, qr, pr, mr, sigma, eta, False, tile
+        )
+        dvx, ddc = bw._rhs_ext_blockwise(
+            x, qr, pr, mr, mask_x, sigma, eta, withlogdet, tile
+        )
+        return (vq + dvq, gq + dgq, vx + dvx, dc + ddc)
+
+    carry0 = (
+        jnp.zeros_like(q), jnp.zeros_like(q), jnp.zeros_like(x),
+        jnp.zeros((), q.dtype),
+    )
+    vq, gq, vx, dc = _ring_scan(body, carry0, (q, p, mask_q), axis_name)
+    dc = jax.lax.psum(dc, axis_name)
+    vq = vq * mask_q[:, None]
+    gq = gq * mask_q[:, None]
+    vx = vx * mask_x[:, None]
+    return vq, -gq, dc, vx
+
+
+def ring_hamiltonian(q, p, mask, sigma, eta, axis_name: str,
+                     tile: int = 1024):
+    """Global H(q, p) of a point-sharded set (inside shard_map), incl. the
+    gradcomponent eta terms (LDDMM.py:142-159)."""
+
+    def body(h, rot):
+        qr, pr, mr = rot
+        return h + bw.hamiltonian_cross(
+            q, p, qr, pr, sigma, eta, mask, mr, tile
+        )
+
+    h = _ring_scan(body, jnp.zeros((), q.dtype), (q, p, mask), axis_name)
+    return jax.lax.psum(h, axis_name)
+
+
+def make_local_shoot(sigma: float, eta: float, withlogdet: bool, nt: int,
+                     axis: str, scheme: str = "Euler", tile: int = 1024):
+    """Geodesic shoot on local shards (for use INSIDE shard_map): Euler /
+    Ralston steps whose RHS is the ring reduction.  ``(q, p, mask[, x,
+    xmask]) -> (q1, p1, cost[, x1])``; fully reverse-differentiable."""
+
+    def local_shoot(q, p, mask, x=None, xmask=None):
         dt = 1.0 / nt
+        ext = x is not None
 
-        def rhs(q, p):
-            return ring_rhs_self(q, p, mask, sigma, withlogdet, axis)
+        def rhs(q, p, x):
+            if ext:
+                return ring_rhs_ext(q, p, x, mask, xmask, sigma, withlogdet,
+                                    axis, eta, tile)
+            vq, mgq, dc = ring_rhs_self(q, p, mask, sigma, withlogdet, axis,
+                                        eta, tile)
+            return vq, mgq, dc, None
 
         def step(carry, _):
-            q, p, cost = carry
-            vq, mgq, dc = rhs(q, p)
+            q, p, x, cost = carry
+            vq, mgq, dc, vx = rhs(q, p, x)
             if scheme == "Euler":
-                return (q + dt * vq, p + dt * mgq, cost + dt * dc), None
+                xn = x + dt * vx if ext else None
+                return (q + dt * vq, p + dt * mgq, xn, cost + dt * dc), None
             qi, pi = q + (2 * dt / 3) * vq, p + (2 * dt / 3) * mgq
-            vqi, mgqi, dci = rhs(qi, pi)
+            xi = x + (2 * dt / 3) * vx if ext else None
+            vqi, mgqi, dci, vxi = rhs(qi, pi, xi)
+            xn = x + 0.25 * dt * (vx + 3 * vxi) if ext else None
             return (
                 q + 0.25 * dt * (vq + 3 * vqi),
                 p + 0.25 * dt * (mgq + 3 * mgqi),
+                xn,
                 cost + 0.25 * dt * (dc + 3 * dci),
             ), None
 
-        (q1, p1, cost), _ = jax.lax.scan(
-            step, (q, p, jnp.zeros((), q.dtype)), None, length=nt
+        (q1, p1, x1, cost), _ = jax.lax.scan(
+            jax.checkpoint(step, prevent_cse=False),
+            (q, p, x, jnp.zeros((), q.dtype)), None, length=nt,
         )
+        if ext:
+            return q1, p1, cost, x1
         return q1, p1, cost
 
+    return local_shoot
+
+
+def make_ring_shoot(sigma: float, lambd: float, withlogdet: bool, nt: int,
+                    mesh: Mesh, axis: str = "points",
+                    scheme: str = "Euler", eta: float = 0.0,
+                    tile: int = 1024):
+    """Point-sharded geodesic shoot: returns a jitted fn
+    (q0_sharded, p0_sharded, mask) -> (q1, p1, divcost)."""
+    local_shoot = make_local_shoot(sigma, eta, withlogdet, nt, axis, scheme,
+                                   tile)
     return jax.jit(
         jax.shard_map(
             local_shoot,

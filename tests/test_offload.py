@@ -1,0 +1,72 @@
+"""Host-offload atlas (models/offload.py — the reference's
+compspec/dataspec split, PSR.py:46-63): streaming chunked EM + registration
+must match the all-on-device DiffPSR computation and keep the free energy
+monotone; chunking must not change the result."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from difficp_tpu.models import gmm as gmm_mod
+from difficp_tpu.models import lddmm as lddmm_mod
+from difficp_tpu.models.offload import HostOffloadAtlas
+
+HERE = os.path.dirname(__file__)
+SPIRAL = np.load(os.path.join(HERE, "goldens", "spiral.npz"))
+X = [SPIRAL[f"x{k}"] for k in range(8)]
+
+
+def make_gmm():
+    state = gmm_mod.GMMState(
+        mu=jnp.asarray(SPIRAL["mu0"]) + 0.01,
+        w=jnp.zeros(20),
+        sigma=jnp.asarray(0.1),
+        eta0=jnp.asarray(0.0),
+        vol0=jnp.asarray(0.0),
+    )
+    return state, gmm_mod.GMMConfig()
+
+
+LCFG = lddmm_mod.make_config(sigma=0.2, lambd=500.0, version="hybrid",
+                             nt=3, scheme="Euler")
+RUN_KW = dict(max_em=4, em_tol=0.0, reg_nmax=1, reg_inner=8, reg_ls=8)
+
+
+def run_offload(chunk):
+    state, gcfg = make_gmm()
+    atlas = HostOffloadAtlas(X, state, gcfg, LCFG, chunk_frames=chunk)
+    fes = atlas.run(2, **RUN_KW)
+    return atlas, fes
+
+
+def test_offload_monotone_and_chunk_invariant():
+    atlas4, fes4 = run_offload(4)
+    atlas8, fes8 = run_offload(8)
+    assert atlas4.fe_increase_events == 0
+    assert atlas8.fe_increase_events == 0
+    # chunking only reorders float sums
+    np.testing.assert_allclose(fes4, fes8, rtol=1e-4)
+    np.testing.assert_allclose(atlas4.a0[: atlas4.K], atlas8.a0[: atlas8.K],
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_offload_matches_diffpsr():
+    from difficp_tpu.models.psr import DiffPSR
+
+    atlas, fes = run_offload(4)
+
+    state, gcfg = make_gmm()
+    psr = DiffPSR(X, state, gcfg, LCFG)
+    psr.printstuff = False
+    for _ in range(2):
+        psr.GMM_opt(max_iterations=RUN_KW["max_em"], tol=0.0)
+        psr.Reg_opt(tol=1e-3, nmax=RUN_KW["reg_nmax"],
+                    inner=RUN_KW["reg_inner"], ls_steps=RUN_KW["reg_ls"])
+
+    assert psr.fe_increase_events == 0
+    np.testing.assert_allclose(fes[-1], psr.FE, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(atlas.x1[: atlas.K]), np.asarray(psr.x1), rtol=5e-2,
+        atol=5e-3,
+    )
