@@ -156,6 +156,8 @@ class OptimizeResult(NamedTuple):
     datal: jax.Array
     n_steps: jax.Array
     change: jax.Array
+    alpha: jax.Array = jnp.asarray(0.0)  # accepted line-search step size
+    #   (warm-start the next optimize on the same frame with alpha0=alpha)
 
 
 def optimize(
@@ -171,6 +173,7 @@ def optimize(
     errthresh: float = 1e8,
     inner: int = 20,
     max_linesearch_steps: int = 25,
+    alpha0=None,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
@@ -188,7 +191,7 @@ def optimize(
 
     res = lbfgs_optimize(
         lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh,
-        max_linesearch_steps=max_linesearch_steps,
+        max_linesearch_steps=max_linesearch_steps, alpha0=alpha0,
     )
     p_best = res.params
     final, _ = shoot(cfg, q0, p_best, x0, qmask, xmask)
@@ -197,7 +200,7 @@ def optimize(
     datal = dataloss(pts)
     return OptimizeResult(
         p0=p_best, final=final, trajl=trajl, datal=datal,
-        n_steps=res.n_steps, change=res.change,
+        n_steps=res.n_steps, change=res.change, alpha=res.alpha,
     )
 
 

@@ -84,6 +84,7 @@ class HostOffloadAtlas:
         self.FE = None
         self.fe_increase_events = 0
         self.printstuff = False
+        self._alpha = np.zeros((kpad,), np.float32)  # per-frame warm starts
 
     def _chunks(self):
         for c0 in range(0, self.Kpad, self.chunk):
@@ -145,13 +146,16 @@ class HostOffloadAtlas:
             mk = jnp.asarray(self.mask[sl])
             w = jnp.asarray(self.ptw[sl])
             s2 = jnp.full((q0.shape[0], self.N), sig2, jnp.float32)
-            a0n, x1, trajl, datal, *_ = _reg_opt_lddmm(
+            a0n, x1, trajl, datal, _, _, _, alpha = _reg_opt_lddmm(
                 self.lcfg, q0, a0, q0, y, s2, mk, mk, w,
                 nmax=nmax, tol=tol, use_ext=False, coverage_check=False,
                 inner=inner, ls_steps=ls_steps,
+                alpha0=(jnp.asarray(self._alpha[sl])
+                        if np.any(self._alpha[sl] > 0) else None),
             )
             self.a0[sl] = np.asarray(a0n)
             self.x1[sl] = np.asarray(x1)
+            self._alpha[sl] = np.asarray(alpha)
             regl += float(jnp.sum(trajl))
             quad += float(jnp.sum(datal))
         self.regloss = regl

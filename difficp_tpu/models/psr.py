@@ -81,17 +81,22 @@ def _quadloss(x1, y, w, sig2):
 )
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
-    coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25,
+    coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25, alpha0=None,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
     Replaces the reference's per-frame loop + torch LBFGS (PSR.py:521-569).
     ``ptw`` is the per-point inlier weight gammaT (ones without outliers).
+    ``alpha0``: per-frame (K,) warm-start line-search step sizes (0 = cold).
     Returns new a0, warped points x1, per-frame (regloss, datal, nsteps,
-    change) and per-frame uncovered point counts along the final shoot.
+    change), per-frame uncovered point counts along the final shoot, and the
+    per-frame accepted step sizes (feed back as ``alpha0`` next call).
     """
+    warm = alpha0 is not None
+    if not warm:
+        alpha0 = jnp.zeros((q0.shape[0],), jnp.float32)  # dummy for vmap
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
         def dataloss(pts):
             return jnp.sum(
                 (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
@@ -109,6 +114,7 @@ def _reg_opt_lddmm(
             tol=tol,
             inner=inner,
             max_linesearch_steps=ls_steps,
+            alpha0=alk if warm else None,
         )
         # one more shoot saving the trajectory: warped points + coverage
         final, traj = lddmm_mod.shoot(
@@ -131,9 +137,10 @@ def _reg_opt_lddmm(
             uncovered = jax.vmap(unc)(traj.q, traj.x)
         else:
             uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
-        return res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change, uncovered
+        return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
+                uncovered, res.alpha)
 
-    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
+    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
@@ -171,7 +178,7 @@ def _v_all(lcfg, x, q, p, qmask):
 def _run_loop_lddmm(
     gstates, q0, a0, x0, x1, qmask, xmask,
     gcfgs, lcfg, slices, n_outer, max_em, em_tol, reg_nmax, reg_tol, use_ext,
-    reg_inner=20, reg_ls=25,
+    reg_inner=20, reg_ls=25, alpha0=None,
 ):
     """The whole alternating loop (GMM EM + lockstep registration), fused
     into ONE compiled program: ``n_outer`` iterations of the reference's
@@ -206,11 +213,11 @@ def _run_loop_lddmm(
         return jnp.concatenate(segs, axis=1)
 
     def outer(carry, _):
-        gstates, a0, x1 = carry
+        gstates, a0, x1, alpha = carry
         gstates, y, ptw, cfes = gmm_pass(gstates, x1)
         sig2 = sig2_of(gstates)
 
-        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
+        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
             def dataloss(pts):
                 return jnp.sum(
                     (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
@@ -220,23 +227,27 @@ def _run_loop_lddmm(
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
                 xmk if use_ext else None, nmax=reg_nmax, tol=reg_tol,
-                inner=reg_inner, max_linesearch_steps=reg_ls,
+                inner=reg_inner, max_linesearch_steps=reg_ls, alpha0=alk,
             )
             x1k = res.final.x if use_ext else res.final.q
-            return res.p0, x1k, res.trajl
+            return res.p0, x1k, res.trajl, res.alpha
 
-        a0, x1, trajl = jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
+        a0, x1, trajl, alpha = jax.vmap(one)(
+            q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha
+        )
         quad = jnp.sum(
             (xmask * ptw)[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None])
         )
         fe = jnp.sum(cfes) + jnp.sum(trajl) + quad
-        return (gstates, a0, x1), (fe, cfes, trajl, quad)
+        return (gstates, a0, x1, alpha), (fe, cfes, trajl, quad)
 
-    carry0 = (tuple(gstates), a0, x1)
-    (gstates, a0, x1), (fes, cfes, trajls, quads) = jax.lax.scan(
+    if alpha0 is None:
+        alpha0 = jnp.zeros((k,), jnp.float32)
+    carry0 = (tuple(gstates), a0, x1, alpha0)
+    (gstates, a0, x1, alpha), (fes, cfes, trajls, quads) = jax.lax.scan(
         outer, carry0, None, length=n_outer
     )
-    return gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1]
+    return gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1], alpha
 
 
 # ---------------------------------------------------------------------------
@@ -529,11 +540,14 @@ class DiffPSR(MultiPSR):
         that one program execution stays under the runtime watchdog."""
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
-        a0, x1, trajl, datal, nsteps, change, uncovered = _reg_opt_lddmm(
+        alpha0 = getattr(self, "_reg_alpha", None)
+        a0, x1, trajl, datal, nsteps, change, uncovered, alpha = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
             nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
+            alpha0=alpha0,
         )
+        self._reg_alpha = alpha  # warm-start the next call's line search
         self.a0 = a0
         self.x1 = x1
         self.regloss = trajl
@@ -577,19 +591,21 @@ class DiffPSR(MultiPSR):
         chunk = n_iters if chunk is None else max(1, min(chunk, n_iters))
         fes_list = []
         done = 0
+        alpha = getattr(self, "_reg_alpha", None)
         while done < n_iters:
             c = min(chunk, n_iters - done)
-            gstates, a0, x1, fes, cfes, trajl, quad = _run_loop_lddmm(
+            gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(
                 tuple(self.gmm), self.q0, a0 if done else self.a0,
                 self.x0, x1 if done else self.x1,
                 self.qmask, self.xmask,
                 tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
                 c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
-                reg_inner=reg_inner, reg_ls=reg_ls,
+                reg_inner=reg_inner, reg_ls=reg_ls, alpha0=alpha,
             )
             self.gmm = list(gstates)
             fes_list.append(np.asarray(fes, np.float64))
             done += c
+        self._reg_alpha = alpha
         self.a0 = a0
         self.x1 = x1
         self.regloss = trajl

@@ -80,15 +80,19 @@ def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None,
 
 @partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
-                 slices, use_ext, nmax, tol):
+                 slices, use_ext, nmax, tol, alpha0=None):
     """All-frames LDDMM registration of the template onto each data set.
 
     x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
-    template concat dimension per structure.  Returns new a0, warped
-    templates y1 (K, Ntot_y, D), regloss, datal, nsteps, change.
+    template concat dimension per structure.  ``alpha0``: per-frame (K,)
+    line-search warm starts (0 = cold).  Returns new a0, warped templates y1
+    (K, Ntot_y, D), regloss, datal, nsteps, change, accepted step sizes.
     """
+    warm = alpha0 is not None
+    if not warm:
+        alpha0 = jnp.zeros((a0.shape[0],), jnp.float32)  # dummy for vmap
 
-    def one(a0k, xk, xmk):
+    def one(a0k, xk, xmk, alk):
         def dataloss(pts):
             # skip_xx: the data-data term is constant wrt the momenta
             l = jnp.zeros((), pts.dtype)
@@ -103,12 +107,13 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
         res = lddmm_mod.optimize(
             lcfg, dataloss, q0, a0k,
             ally0 if use_ext else None,
-            None, None, nmax=nmax, tol=tol,
+            None, None, nmax=nmax, tol=tol, alpha0=alk if warm else None,
         )
         y1k = res.final.x if use_ext else res.final.q
-        return res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change
+        return (res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change,
+                res.alpha)
 
-    return jax.vmap(one)(a0, x, xmask)
+    return jax.vmap(one)(a0, x, xmask, alpha0)
 
 
 @jax.jit
@@ -122,7 +127,7 @@ def _xx_term(x, sigma, mask_x):
 
 @partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
 def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                      nmax, tol, use_weights):
+                      nmax, tol, use_weights, alpha0=None):
     """L-BFGS over one structure's template (and optional weights), gradient
     through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
     so repeated Template_opt calls reuse the compiled program instead of
@@ -138,11 +143,13 @@ def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
 
     if use_weights:
         res = lbfgs_optimize(
-            lambda p: loss_of(p[0], p[1]), (y0s, w0s), nmax=nmax, tol=tol
+            lambda p: loss_of(p[0], p[1]), (y0s, w0s), nmax=nmax, tol=tol,
+            alpha0=alpha0,
         )
-        return res.params[0], res.params[1], res.loss, res.n_steps
-    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax, tol=tol)
-    return res.params, w0s, res.loss, res.n_steps
+        return res.params[0], res.params[1], res.loss, res.n_steps, res.alpha
+    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax, tol=tol,
+                         alpha0=alpha0)
+    return res.params, w0s, res.loss, res.n_steps, res.alpha
 
 
 @partial(
@@ -156,6 +163,7 @@ def _run_loop_std(
     q0, a0, y0, w0, x, xmask, noise2, data_sigma,
     lcfg, slices, n_outer, reg_nmax, reg_tol, reg_inner, reg_ls,
     tmpl_nmax, tmpl_tol, dense_support, use_weights,
+    alpha0_reg=None, alpha0_tmpl=None,
 ):
     """The standard algorithm's whole alternating loop (Reg_opt +
     Template_opt, reference PSR_standard.py:507-564) fused into ONE compiled
@@ -198,10 +206,10 @@ def _run_loop_std(
         return jnp.stack(cols, axis=1)
 
     def outer(carry, _):
-        q0, a0, y0, w0 = carry
+        q0, a0, y0, w0, al_reg, al_tmpl = carry
 
         # ---- Reg_opt: all frames in lockstep --------------------------
-        def one(a0k, xk, xmk):
+        def one(a0k, xk, xmk, alk):
             res = lddmm_mod.optimize(
                 lcfg,
                 lambda pts: dataloss_frame(pts, xk, xmk, w0),
@@ -209,25 +217,28 @@ def _run_loop_std(
                 y0 if use_ext else None,
                 None, None,
                 nmax=reg_nmax, tol=reg_tol, inner=reg_inner,
-                max_linesearch_steps=reg_ls,
+                max_linesearch_steps=reg_ls, alpha0=alk,
             )
             y1k = res.final.x if use_ext else res.final.q
-            return res.p0, y1k, res.trajl, res.datal
+            return res.p0, y1k, res.trajl, res.datal, res.alpha
 
-        a0, y1, regl, datal = jax.vmap(one)(a0, x, xmask)
+        a0, y1, regl, datal, al_reg = jax.vmap(one)(a0, x, xmask, al_reg)
         e_reg = jnp.sum(regl) + jnp.sum(datal)
 
         # ---- Template_opt: per structure, through K frozen shoots -----
-        new_y0, new_w0 = [], []
+        new_y0, new_w0, new_al = [], [], []
         for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-            ys, ws, _, _ = _template_opt_std(
+            ys, ws, _, _, als = _template_opt_std(
                 lcfg, q0, a0, x[:, xlo:xhi], xmask[:, xlo:xhi],
                 y0[ylo:yhi],
                 w0[ylo:yhi] if use_weights else jnp.zeros((0,), y0.dtype),
                 data_sigma, noise2[s], tmpl_nmax, tmpl_tol, use_weights,
+                alpha0=al_tmpl[s],
             )
             new_y0.append(ys)
             new_w0.append(ws)
+            new_al.append(als)
+        al_tmpl = jnp.stack(new_al)
         y0 = jnp.concatenate(new_y0, axis=0)
         w0 = jnp.concatenate(new_w0, axis=0) if use_weights else w0
 
@@ -254,11 +265,15 @@ def _run_loop_std(
         dmat = datal_matrix(y1, w0)
         e_tmpl = jnp.sum(regl) + jnp.sum(dmat)
 
-        return (q0, a0, y0, w0), (e_reg, e_tmpl, regl, dmat)
+        return (q0, a0, y0, w0, al_reg, al_tmpl), (e_reg, e_tmpl, regl, dmat)
 
-    carry0 = (q0, a0, y0, w0)
-    (q0, a0, y0, w0), (e_regs, e_tmpls, regls, dmats) = jax.lax.scan(
-        outer, carry0, None, length=n_outer
+    if alpha0_reg is None:
+        alpha0_reg = jnp.zeros((k,), jnp.float32)
+    if alpha0_tmpl is None:
+        alpha0_tmpl = jnp.zeros((len(slices),), jnp.float32)
+    carry0 = (q0, a0, y0, w0, alpha0_reg, alpha0_tmpl)
+    (q0, a0, y0, w0, al_reg, al_tmpl), (e_regs, e_tmpls, regls, dmats) = (
+        jax.lax.scan(outer, carry0, None, length=n_outer)
     )
 
     def rewarp_final(a0k):
@@ -267,7 +282,7 @@ def _run_loop_std(
 
     y1 = jax.vmap(rewarp_final)(a0)
     energies = jnp.stack([e_regs, e_tmpls], axis=1)
-    return q0, a0, y0, w0, y1, energies, regls[-1], dmats[-1]
+    return q0, a0, y0, w0, y1, energies, regls[-1], dmats[-1], al_reg, al_tmpl
 
 
 class MultiPSRStd:
@@ -446,11 +461,13 @@ class DiffPSRStd(MultiPSRStd):
     def Reg_opt(self, nmax=10, tol=1e-3):
         use_ext = self.support_scheme is not None
         noise2 = tuple(v**2 for v in self.noise_std)
-        a0, y1, regl, datal, nsteps, change = _reg_opt_std(
+        a0, y1, regl, datal, nsteps, change, alpha = _reg_opt_std(
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
             tuple(self.slices), use_ext, nmax, tol,
+            alpha0=getattr(self, "_reg_alpha", None),
         )
+        self._reg_alpha = alpha  # warm-start the next call's line search
         self.a0 = a0
         self.y1 = y1
         self.regloss = np.asarray(regl, np.float64)
@@ -465,17 +482,20 @@ class DiffPSRStd(MultiPSRStd):
         K shoots (PSR_standard.py:226-255).  Rides the module-level jitted
         ``_template_opt_std`` — one compiled program per static config,
         reused across calls and structures."""
+        tmpl_alpha = getattr(self, "_tmpl_alpha", [None] * self.S)
         for s in range(self.S):
             ylo, yhi, xlo, xhi = self.slices[s]
-            ys, ws, loss, n_steps = _template_opt_std(
+            ys, ws, loss, n_steps, als = _template_opt_std(
                 self.lcfg, self.q0, self.a0,
                 self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
                 self.y0[s],
                 self.w0[s] if self.template_weights
                 else jnp.zeros((0,), self.y0[s].dtype),
                 self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
-                self.template_weights,
+                self.template_weights, alpha0=tmpl_alpha[s],
             )
+            tmpl_alpha[s] = als
+            self._tmpl_alpha = tmpl_alpha
             self.y0[s] = ys
             if self.template_weights:
                 self.w0[s] = ws
@@ -556,13 +576,25 @@ class DiffPSRStd(MultiPSRStd):
             else jnp.zeros((self.ny_tot,), self.ally0.dtype)
         )
 
-        q0, a0, y0c, w0c, y1, energies, regl, dmat = _run_loop_std(
-            self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,
-            noise2, self.data_sigma,
-            self.lcfg, tuple(self.slices), int(n_iters),
-            int(reg_nmax), reg_tol, int(reg_inner), int(reg_ls),
-            int(tmpl_nmax), tmpl_tol, dense_support, self.template_weights,
+        tmpl_alpha = getattr(self, "_tmpl_alpha", None)
+        if tmpl_alpha is not None and all(a is not None for a in tmpl_alpha):
+            tmpl_alpha = jnp.stack([jnp.asarray(a) for a in tmpl_alpha])
+        else:
+            tmpl_alpha = None
+        q0, a0, y0c, w0c, y1, energies, regl, dmat, al_reg, al_tmpl = (
+            _run_loop_std(
+                self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,
+                noise2, self.data_sigma,
+                self.lcfg, tuple(self.slices), int(n_iters),
+                int(reg_nmax), reg_tol, int(reg_inner), int(reg_ls),
+                int(tmpl_nmax), tmpl_tol, dense_support,
+                self.template_weights,
+                alpha0_reg=getattr(self, "_reg_alpha", None),
+                alpha0_tmpl=tmpl_alpha,
+            )
         )
+        self._reg_alpha = al_reg
+        self._tmpl_alpha = [al_tmpl[s] for s in range(self.S)]
 
         self.q0, self.a0, self.y1 = q0, a0, y1
         self.y0 = [y0c[ylo:yhi] for (ylo, yhi, _, _) in self.slices]

@@ -79,6 +79,8 @@ class TwosetStepOut(NamedTuple):
     fe: jax.Array      # ()  free energy (the monotone oracle quantity)
     trajl: jax.Array   # ()  lambd*H + divcost
     quad: jax.Array    # ()  weighted quadratic dataloss
+    alpha: jax.Array = jnp.asarray(0.0)  # accepted line-search step size
+    #   (pass back as the step's ``alpha0`` to warm-start the next zoom)
 
 
 def make_twoset_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
@@ -132,7 +134,7 @@ def make_twoset_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
     )
 
     @jax.jit
-    def step(gstate, q0, a0, x1, mask) -> TwosetStepOut:
+    def step(gstate, q0, a0, x1, mask, alpha0=None) -> TwosetStepOut:
         gstate, y, cfe, ptw = em_sm(gstate, x1, mask)
         sig2 = gstate.sigma ** 2
 
@@ -141,7 +143,7 @@ def make_twoset_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
 
         res = lbfgs_optimize(
             lossfn, a0, nmax=reg_nmax, inner=reg_inner, tol=tol,
-            max_linesearch_steps=reg_ls,
+            max_linesearch_steps=reg_ls, alpha0=alpha0,
         )
         a0n = res.params
         x1n, trajl = final_sm(a0n, q0, mask)
@@ -149,7 +151,7 @@ def make_twoset_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
         fe = cfe + trajl + quad
         return TwosetStepOut(
             gmm=gstate, a0=a0n, x1=x1n, y=y, cfe=cfe, fe=fe, trajl=trajl,
-            quad=quad,
+            quad=quad, alpha=res.alpha,
         )
 
     return step

@@ -34,6 +34,9 @@ class LBFGSResult(NamedTuple):
     loss: jax.Array   # best loss value
     n_steps: jax.Array  # number of outer steps taken
     change: jax.Array   # last relative parameter change (rms)
+    alpha: jax.Array = jnp.asarray(0.0)  # last accepted line-search step
+    #   size; feed back as ``alpha0`` of the next call on the same problem
+    #   (warm start) to skip the zoom's bracketing phase
 
 
 def _rms(tree):
@@ -55,11 +58,17 @@ def lbfgs_optimize(
     errthresh: float = 1e8,
     memory_size: int = 20,
     max_linesearch_steps: int = 25,
+    alpha0=None,
 ) -> LBFGSResult:
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
     Semantics follow reference optim.py: up to ``nmax`` outer steps of
     ``inner`` L-BFGS iterations each; returns the best parameters seen.
+
+    ``alpha0``: warm-start step size for the first zoom line search (use the
+    ``alpha`` of a previous result on the same problem).  ``None`` or a
+    non-positive value falls back to the 1/||g0|| first-step heuristic —
+    callers inside jit can pass 0.0 as a dynamic "no warm start" sentinel.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
@@ -72,6 +81,14 @@ def lbfgs_optimize(
     def inner_step(carry, _):
         params, state, best_p, best_l = carry
         value, grad = value_and_grad(params, state=state)
+        # track the pre-update point too: costs nothing (value is already
+        # computed) and guarantees best_l <= entry loss even on the warm
+        # path, whose best_l starts at +inf without an l0 seeding eval
+        b0 = jnp.logical_and(value < best_l, jnp.isfinite(value))
+        best_p = jax.tree.map(
+            lambda c, b: jnp.where(b0, c, b), params, best_p
+        )
+        best_l = jnp.where(b0, value, best_l)
         updates, state = opt.update(
             grad, state, params, value=value, grad=grad, value_fn=lossfn
         )
@@ -132,18 +149,39 @@ def lbfgs_optimize(
         ref = _rms(prev)
         return (i + 1, params, state, best_p, best_l, change, ref, key)
 
-    l0, g0 = jax.value_and_grad(lossfn)(p0)
-    l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf)
-    # Seed the first line search at ~1/||g0|| (classical first-step heuristic).
-    # The objective is a raw sum over points (reference convention), so the
-    # first gradient can be huge; starting the zoom at step 1.0 would burn
-    # its whole evaluation budget shrinking.  Subsequent steps reuse the
-    # previously accepted step ('keep' strategy).
-    g0_norm = _rms(g0) * jnp.sqrt(
-        jnp.asarray(float(sum(a.size for a in jax.tree.leaves(g0))), l0.dtype)
-    )
-    alpha0 = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
-    state0 = otu.tree_set(state0, learning_rate=alpha0.astype(jnp.float32))
+    # Seed the first line search at ~1/||g0|| (classical first-step
+    # heuristic).  The objective is a raw sum over points (reference
+    # convention), so the first gradient can be huge; starting the zoom at
+    # step 1.0 would burn its whole evaluation budget shrinking.  Subsequent
+    # steps reuse the previously accepted step ('keep' strategy), and a
+    # positive ``alpha0`` warm start skips the seeding eval entirely (the
+    # loss+grad here costs a full fwd+bwd shoot at scale).
+    def _seed(_):
+        l0, g0 = jax.value_and_grad(lossfn)(p0)
+        l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf)
+        g0_norm = _rms(g0) * jnp.sqrt(
+            jnp.asarray(
+                float(sum(a.size for a in jax.tree.leaves(g0))), l0.dtype
+            )
+        )
+        return (
+            l0.astype(jnp.float32),
+            jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12)).astype(
+                jnp.float32
+            ),
+        )
+
+    if alpha0 is not None:
+        # warm path (STATIC): no seeding eval at all — the zoom recovers on
+        # its own from a 1.0 start in the rare cold-sentinel (0.0) case
+        # (e.g. iteration 0 of a fused loop), and best-so-far tracking
+        # starts from the first accepted iterate.
+        a0v = jnp.asarray(alpha0, jnp.float32)
+        l0 = jnp.asarray(jnp.inf, jnp.float32)
+        alpha_h = jnp.where(a0v > 0.0, a0v, 1.0)
+    else:
+        l0, alpha_h = _seed(None)
+    state0 = otu.tree_set(state0, learning_rate=alpha_h.astype(jnp.float32))
     carry = (
         jnp.asarray(0),
         p0,
@@ -157,4 +195,6 @@ def lbfgs_optimize(
     i, params, state, best_p, best_l, change, ref, _ = jax.lax.while_loop(
         lambda c: outer_cond(c[:7]), outer_body, carry
     )
-    return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change)
+    alpha = otu.tree_get(state, "learning_rate")
+    return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change,
+                       alpha=jnp.asarray(alpha, jnp.float32))

@@ -20,8 +20,24 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled XLA executables after each test module.
+
+    Every compiled CPU executable holds several mmap'd JIT code regions; the
+    full suite compiles enough large L-BFGS/scan programs to exhaust the
+    kernel's vm.max_map_count (65530) near the end of the run, which kills
+    the process with a bare SIGABRT/SIGSEGV inside backend_compile_and_load.
+    Per-module clearing keeps intra-module jit reuse (where all the sharing
+    is) while bounding the process-wide mapping count.
+    """
+    yield
+    jax.clear_caches()

@@ -60,3 +60,41 @@ def test_multi_atlas_matches_reference():
     # monotone FE across outer iterations
     fes = np.asarray(fes)
     assert np.all(np.diff(fes) <= 1e-3 * np.abs(fes[:-1]) + 1e-3)
+
+
+def test_multi_atlas_fused_run_matches_golden():
+    """The fused on-device loop (DiffPSR.run — the K=64 bench path) on the
+    same diffICP_multi workload: must track the torch reference golden FE at
+    matched iteration count and stay monotone, like the stepwise path."""
+    x = [SPIRAL[f"x{k}"] for k in range(10)]
+    gmm_state = gmm.GMMState(
+        mu=jnp.asarray(REF["mu_init"]),
+        w=jnp.zeros(20),
+        sigma=jnp.asarray(gmm.create(jnp.asarray(REF["mu_init"]))[0].sigma),
+        eta0=jnp.asarray(0.0),
+        vol0=jnp.asarray(0.0),
+    )
+    gcfg = gmm.GMMConfig(
+        optimize_mu=True, optimize_sigma=True, optimize_w=True,
+        optimize_eta0=False,
+    )
+    lcfg = lddmm.make_config(sigma=0.2, lambd=5e2, version="hybrid",
+                             nt=10, scheme="Euler")
+    psr = DiffPSR(x, gmm_state, gcfg, lcfg)
+    psr.printstuff = False
+    psr.set_support_scheme("grid", rho=1.0)
+
+    n_iter = 8
+    fes = psr.run(n_iter, max_em=25, em_tol=1e-3, reg_nmax=10, reg_tol=1e-3,
+                  chunk=4)
+    assert psr.fe_increase_events == 0
+    fe_ref = float(REF["FE_seq"][n_iter - 1])
+    assert abs(psr.FE - fe_ref) < 0.02 * abs(fe_ref), (psr.FE, fe_ref)
+    assert len(fes) == n_iter
+    # warped clouds also track the reference configuration
+    for k in (0, 5):
+        n = int(psr.structs[0].n[k])
+        ours = np.asarray(psr.x1[k])[:n]
+        ref = REF[f"x1_{k}"]
+        d2 = ((ours[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        assert np.sqrt(d2.min(1)).mean() < 0.05
