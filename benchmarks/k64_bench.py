@@ -67,15 +67,20 @@ def tpu(n_iter=6):
                       "FE_last": psr.FE}))
 
 
-def tpu_fused(n_iter=6, chunk=2, reg_nmax=6):
+def tpu_fused(n_iter=6, chunk=2, reg_nmax=6, reg_inner=10, reg_ls=12):
     """The fused-path K=64 bench (VERDICT round-1 item 1): all of (EM +
     lockstep registration) x chunk iterations in ONE device program via
     DiffPSR.run — the per-dispatch overhead of the axon relay (which
     dominates the tiny per-frame programs of the stepwise mode) is paid
     once per chunk instead of ~5x per outer iteration.
 
-    One fused iteration = EM(25) + Reg_opt(nmax=reg_nmax), matching the
-    stepwise mode's depth (3 programs x nmax=2)."""
+    reg_inner=10 / reg_ls=12 (vs the 20/25 defaults): vmapped while_loops
+    run at the slowest of the 64 lanes, and CONVERGED lanes burn the full
+    zoom budget every L-BFGS step (a failed search on a flat landscape
+    exhausts max_linesearch_steps) — the deep config's late iterations
+    took 23-28 s/iter and flirted with the ~60 s worker watchdog for ZERO
+    extra free-energy progress (FE matches to 4 digits at iteration 10).
+    With warm-started line searches the modest budgets lose nothing."""
     import jax
     import jax.numpy as jnp
 

@@ -591,7 +591,12 @@ class DiffPSR(MultiPSR):
         chunk = n_iters if chunk is None else max(1, min(chunk, n_iters))
         fes_list = []
         done = 0
+        # always pass a (K,) array: None vs array changes the jit signature
+        # and would recompile the whole fused loop on the first warm call
+        # (zeros = the cold sentinel, handled dynamically inside the scan)
         alpha = getattr(self, "_reg_alpha", None)
+        if alpha is None:
+            alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
         while done < n_iters:
             c = min(chunk, n_iters - done)
             gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(

@@ -576,11 +576,17 @@ class DiffPSRStd(MultiPSRStd):
             else jnp.zeros((self.ny_tot,), self.ally0.dtype)
         )
 
+        # always pass arrays: a None<->array flip would change the jit
+        # signature and recompile the fused loop on the first warm call
+        # (zeros = the cold sentinel, handled dynamically inside the scan)
         tmpl_alpha = getattr(self, "_tmpl_alpha", None)
         if tmpl_alpha is not None and all(a is not None for a in tmpl_alpha):
             tmpl_alpha = jnp.stack([jnp.asarray(a) for a in tmpl_alpha])
         else:
-            tmpl_alpha = None
+            tmpl_alpha = jnp.zeros((self.S,), jnp.float32)
+        reg_alpha = getattr(self, "_reg_alpha", None)
+        if reg_alpha is None:
+            reg_alpha = jnp.zeros((self.K,), jnp.float32)
         q0, a0, y0c, w0c, y1, energies, regl, dmat, al_reg, al_tmpl = (
             _run_loop_std(
                 self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,
@@ -589,7 +595,7 @@ class DiffPSRStd(MultiPSRStd):
                 int(reg_nmax), reg_tol, int(reg_inner), int(reg_ls),
                 int(tmpl_nmax), tmpl_tol, dense_support,
                 self.template_weights,
-                alpha0_reg=getattr(self, "_reg_alpha", None),
+                alpha0_reg=reg_alpha,
                 alpha0_tmpl=tmpl_alpha,
             )
         )

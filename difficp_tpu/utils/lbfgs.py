@@ -39,6 +39,11 @@ class LBFGSResult(NamedTuple):
     #   (warm start) to skip the zoom's bracketing phase
 
 
+# accepted steps below this are "no progress" artifacts (zoom shrunk to
+# nothing on a converged/stuck lane), never useful warm-start seeds
+_ALPHA_DEGENERATE = 1e-10
+
+
 def _rms(tree):
     sq = sum(jnp.sum(a * a) for a in jax.tree.leaves(tree))
     n = sum(a.size for a in jax.tree.leaves(tree))
@@ -175,10 +180,16 @@ def lbfgs_optimize(
         # warm path (STATIC): no seeding eval at all — the zoom recovers on
         # its own from a 1.0 start in the rare cold-sentinel (0.0) case
         # (e.g. iteration 0 of a fused loop), and best-so-far tracking
-        # starts from the first accepted iterate.
+        # starts from the first accepted iterate.  Degenerate seeds (a
+        # collapsed step from a converged lane) also fall back to 1.0: the
+        # zoom can only move a factor ~2 per eval, so growing back from
+        # ~1e-17 would burn the whole line-search budget every iteration.
         a0v = jnp.asarray(alpha0, jnp.float32)
         l0 = jnp.asarray(jnp.inf, jnp.float32)
-        alpha_h = jnp.where(a0v > 0.0, a0v, 1.0)
+        alpha_h = jnp.where(
+            jnp.logical_and(a0v > _ALPHA_DEGENERATE, jnp.isfinite(a0v)),
+            a0v, 1.0,
+        )
     else:
         l0, alpha_h = _seed(None)
     state0 = otu.tree_set(state0, learning_rate=alpha_h.astype(jnp.float32))
@@ -195,6 +206,21 @@ def lbfgs_optimize(
     i, params, state, best_p, best_l, change, ref, _ = jax.lax.while_loop(
         lambda c: outer_cond(c[:7]), outer_body, carry
     )
-    alpha = otu.tree_get(state, "learning_rate")
+    # Warm-start value for the next call: the accepted step, confined to a
+    # 16x trust window around the seed this call STARTED from (warm value,
+    # 1/||g0|| heuristic, or the 1.0 sentinel).  Rationale: a converged or
+    # stuck lane accepts ~0-length steps, and seeding the next zoom there
+    # poisons it (the zoom only grows ~2x per eval, so recovering from
+    # 1e-9 burns the whole line-search budget every subsequent iteration —
+    # and vmapped lanes run at the slowest lane's pace).  A plain relative
+    # floor still ratchets down across chained calls; the window caps the
+    # drift at 16x per call in either direction, a <=4-eval recovery if the
+    # landscape scale genuinely moved further than that.
+    raw = jnp.asarray(otu.tree_get(state, "learning_rate"), jnp.float32)
+    prev = jnp.where(
+        jnp.logical_and(jnp.isfinite(alpha_h), alpha_h > 0.0), alpha_h, 1.0
+    )
+    ok = jnp.logical_and(jnp.isfinite(raw), raw > prev / 16.0)
+    alpha = jnp.where(ok, jnp.minimum(raw, prev * 16.0), prev)
     return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change,
-                       alpha=jnp.asarray(alpha, jnp.float32))
+                       alpha=alpha)

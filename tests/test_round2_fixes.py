@@ -164,3 +164,43 @@ def test_sharded_atlas_outlier_weight_matches_single_device():
     # and the train step's dataloss actually used the inlier weight: compare
     # against the DiffPSR single-device quadloss convention on same inputs
     assert float(out1.gmm.eta0) != 0.0 or True  # eta0 fixed unless optimized
+
+
+def test_warm_start_degenerate_alpha_guard():
+    """A converged problem accepts ~0-length steps; the returned warm-start
+    alpha must not collapse (the next zoom could only grow back ~2x per
+    eval), it keeps the caller's previous healthy seed instead."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def loss(p):
+        return jnp.sum((p - 1.0) ** 2)
+
+    p0 = jnp.zeros(4)
+    res = lbfgs_optimize(loss, p0, nmax=3, inner=20, tol=1e-10)
+    # fully converged in one call; run again FROM the optimum with a warm
+    # seed: accepted steps are degenerate, the healthy seed must survive
+    res2 = lbfgs_optimize(loss, res.params, nmax=2, inner=10, tol=1e-10,
+                          alpha0=jnp.asarray(0.37, jnp.float32))
+    a2 = float(res2.alpha)
+    assert np.isfinite(a2)
+    # 16x trust window around the seed: a collapsed accepted step cannot
+    # drag the warm-start below seed/16 (nor can chained calls ratchet it
+    # down, since each call's window anchors at its own seed)
+    assert 0.37 / 16.0 - 1e-7 <= a2 <= 0.37 * 16.0 + 1e-6, a2
+    np.testing.assert_allclose(np.asarray(res2.params), 1.0, atol=1e-4)
+    # chaining from the optimum never escapes the window of the original
+    # healthy seed by more than 16x per call
+    a = jnp.asarray(0.37, jnp.float32)
+    for _ in range(4):
+        r = lbfgs_optimize(loss, res.params, nmax=2, inner=10, tol=1e-10,
+                           alpha0=a)
+        a = r.alpha
+    assert float(a) > 0.37 / 16.0**4 and np.isfinite(float(a))
+
+    # degenerate / nonfinite seeds fall back to the 1.0 sentinel start and
+    # still optimize fine
+    for bad in (0.0, 1e-30, float("nan"), float("inf")):
+        r = lbfgs_optimize(loss, p0, nmax=3, inner=20, tol=1e-10,
+                           alpha0=jnp.asarray(bad, jnp.float32))
+        np.testing.assert_allclose(np.asarray(r.params), 1.0, atol=1e-4)
+        assert np.isfinite(float(r.alpha))
