@@ -160,6 +160,38 @@ class OptimizeResult(NamedTuple):
     #   (warm-start the next optimize on the same frame with alpha0=alpha)
 
 
+def _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask):
+    def lossfn(p):
+        final, _ = shoot(cfg, q0, p, x0, qmask, xmask)
+        pts = final.x if x0 is not None else final.q
+        return trajloss(cfg, q0, p, final.cost, qmask) + dataloss(pts)
+
+    return lossfn
+
+
+def seed_alpha(cfg, dataloss, q0, p0, x0=None, qmask=None, xmask=None):
+    """Zoom line-search seed ~ min(1, 1/||g0||) for ``optimize`` on this
+    problem (the classical first-step heuristic; same norm convention as
+    utils/lbfgs.py's internal seeding).
+
+    Computing the seed OUTSIDE ``optimize`` lets every call take the warm
+    ``alpha0`` path: one compiled L-BFGS program per configuration instead
+    of separate cold/warm variants — at 131k points each variant costs a
+    5-10 min remote compile, while this one fwd+bwd shoot compiles in
+    seconds."""
+    lossfn = _make_lossfn(cfg, dataloss, jax.lax.stop_gradient(q0),
+                          None if x0 is None else jax.lax.stop_gradient(x0),
+                          qmask, xmask)
+    l0, g0 = jax.value_and_grad(lossfn)(p0)
+    n = float(sum(a.size for a in jax.tree.leaves(g0)))
+    sq = jnp.sqrt(sum(jnp.sum(a**2) for a in jax.tree.leaves(g0)) / n)
+    g0_norm = sq * jnp.sqrt(jnp.asarray(n, l0.dtype))
+    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
+    # a non-finite entry loss means the seed is meaningless; fall back to
+    # the 1.0 sentinel handled inside lbfgs_optimize
+    return jnp.where(jnp.isfinite(l0), seed, 1.0).astype(jnp.float32)
+
+
 def optimize(
     cfg: LDDMMConfig,
     dataloss: Callable,
@@ -184,10 +216,7 @@ def optimize(
     if x0 is not None:
         x0 = jax.lax.stop_gradient(x0)
 
-    def lossfn(p):
-        final, _ = shoot(cfg, q0, p, x0, qmask, xmask)
-        pts = final.x if x0 is not None else final.q
-        return trajloss(cfg, q0, p, final.cost, qmask) + dataloss(pts)
+    lossfn = _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask)
 
     res = lbfgs_optimize(
         lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh,

@@ -74,6 +74,28 @@ def _quadloss(x1, y, w, sig2):
     )
 
 
+@partial(jax.jit, static_argnames=("lcfg", "use_ext"))
+def _seed_alphas_lddmm(lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw,
+                       use_ext):
+    """Per-frame 1/||g0|| zoom seeds for ``_reg_opt_lddmm`` (one vmapped
+    fwd+bwd shoot).  Computing seeds here keeps ``_reg_opt_lddmm`` on its
+    single warm compiled program: at scale the cold (in-program seeding)
+    variant would cost a second multi-minute remote compile."""
+
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
+        def dataloss(pts):
+            return jnp.sum(
+                (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
+            )
+
+        return lddmm_mod.seed_alpha(
+            lcfg, dataloss, q0k, a0k,
+            x0k if use_ext else None, qmk, xmk if use_ext else None,
+        )
+
+    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
+
+
 @partial(
     jax.jit,
     static_argnames=("lcfg", "use_ext", "nmax", "inner", "ls_steps",
@@ -541,6 +563,13 @@ class DiffPSR(MultiPSR):
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
         alpha0 = getattr(self, "_reg_alpha", None)
+        if alpha0 is None:
+            # 1/||g0|| seeds via one small vmapped program, so the big
+            # L-BFGS program below always compiles its single warm variant
+            alpha0 = _seed_alphas_lddmm(
+                self.lcfg, self.q0, self.a0, self.x0, self.y, sig2,
+                self.qmask, self.xmask, self.ptw, use_ext,
+            )
         a0, x1, trajl, datal, nsteps, change, uncovered, alpha = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
@@ -592,11 +621,18 @@ class DiffPSR(MultiPSR):
         fes_list = []
         done = 0
         # always pass a (K,) array: None vs array changes the jit signature
-        # and would recompile the whole fused loop on the first warm call
-        # (zeros = the cold sentinel, handled dynamically inside the scan)
+        # and would recompile the whole fused loop on the first warm call.
+        # A fresh PSR seeds iteration 0 at ~1/||g0|| against the CURRENT
+        # targets (order-of-magnitude proxy for the post-EM loss scale —
+        # the zoom and the 16x warm-seed trust window absorb the rest),
+        # instead of the raw 1.0 sentinel.
         alpha = getattr(self, "_reg_alpha", None)
         if alpha is None:
-            alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
+            alpha = _seed_alphas_lddmm(
+                self.lcfg, self.q0, self.a0, self.x0, self.y,
+                self._sig2_vector(), self.qmask, self.xmask, self.ptw,
+                use_ext,
+            )
         while done < n_iters:
             c = min(chunk, n_iters - done)
             gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(

@@ -78,6 +78,31 @@ def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None,
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext"))
+def _seed_alphas_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
+                     slices, use_ext):
+    """Per-frame 1/||g0|| zoom seeds for ``_reg_opt_std`` (one vmapped
+    fwd+bwd shoot), so the L-BFGS program keeps a single warm compiled
+    variant — see psr._seed_alphas_lddmm."""
+
+    def one(a0k, xk, xmk):
+        def dataloss(pts):
+            l = jnp.zeros((), pts.dtype)
+            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+                l = l + data_distance(
+                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                    w=None if w0 is None else w0[ylo:yhi],
+                    mask_x=xmk[xlo:xhi], skip_xx=True,
+                ) / noise2[s]
+            return l
+
+        return lddmm_mod.seed_alpha(
+            lcfg, dataloss, q0, a0k, ally0 if use_ext else None, None, None,
+        )
+
+    return jax.vmap(one)(a0, x, xmask)
+
+
 @partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                  slices, use_ext, nmax, tol, alpha0=None):
@@ -461,11 +486,20 @@ class DiffPSRStd(MultiPSRStd):
     def Reg_opt(self, nmax=10, tol=1e-3):
         use_ext = self.support_scheme is not None
         noise2 = tuple(v**2 for v in self.noise_std)
+        alpha0 = getattr(self, "_reg_alpha", None)
+        if alpha0 is None:
+            # 1/||g0|| seeds via one small vmapped program, so the big
+            # L-BFGS program below always compiles its single warm variant
+            alpha0 = _seed_alphas_std(
+                self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
+                jnp.asarray(noise2), self.data_sigma, self.w0_cat,
+                tuple(self.slices), use_ext,
+            )
         a0, y1, regl, datal, nsteps, change, alpha = _reg_opt_std(
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
             tuple(self.slices), use_ext, nmax, tol,
-            alpha0=getattr(self, "_reg_alpha", None),
+            alpha0=alpha0,
         )
         self._reg_alpha = alpha  # warm-start the next call's line search
         self.a0 = a0
@@ -586,7 +620,13 @@ class DiffPSRStd(MultiPSRStd):
             tmpl_alpha = jnp.zeros((self.S,), jnp.float32)
         reg_alpha = getattr(self, "_reg_alpha", None)
         if reg_alpha is None:
-            reg_alpha = jnp.zeros((self.K,), jnp.float32)
+            # seed iteration 0 at ~1/||g0|| (small program) instead of the
+            # raw 1.0 sentinel; the registration dominates the loop cost
+            reg_alpha = _seed_alphas_std(
+                self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
+                noise2, self.data_sigma, self.w0_cat, tuple(self.slices),
+                not dense_support,
+            )
         q0, a0, y0c, w0c, y1, energies, regl, dmat, al_reg, al_tmpl = (
             _run_loop_std(
                 self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,

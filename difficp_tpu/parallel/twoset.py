@@ -134,16 +134,29 @@ def make_twoset_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
     )
 
     @jax.jit
-    def step(gstate, q0, a0, x1, mask, alpha0=None) -> TwosetStepOut:
+    def step(gstate, q0, a0, x1, mask,
+             alpha0=jnp.zeros((), jnp.float32)) -> TwosetStepOut:
         gstate, y, cfe, ptw = em_sm(gstate, x1, mask)
         sig2 = gstate.sigma ** 2
 
         def lossfn(p):
             return reg_loss(p, q0, y, ptw, mask, sig2)
 
+        def _seed():
+            # cold call: classical 1/||g0|| zoom seed.  lax.cond here is a
+            # true runtime branch (K=1, no vmap), so warm calls skip the
+            # extra loss+grad eval while keeping ONE compiled program —
+            # thread ``out.alpha`` back in as ``alpha0`` on later calls.
+            g0 = jax.grad(lossfn)(a0)
+            gn = jnp.sqrt(jnp.sum(g0**2))
+            return jnp.minimum(1.0, 1.0 / jnp.maximum(gn, 1e-12)).astype(
+                jnp.float32)
+
+        alpha0 = jnp.asarray(alpha0, jnp.float32)
+        al = jax.lax.cond(alpha0 > 0.0, lambda: alpha0, _seed)
         res = lbfgs_optimize(
             lossfn, a0, nmax=reg_nmax, inner=reg_inner, tol=tol,
-            max_linesearch_steps=reg_ls, alpha0=alpha0,
+            max_linesearch_steps=reg_ls, alpha0=al,
         )
         a0n = res.params
         x1n, trajl = final_sm(a0n, q0, mask)

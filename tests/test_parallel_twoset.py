@@ -143,16 +143,18 @@ def test_sharded_twoset_step_matches_single_device():
     # --- sharded: 2 alternations
     fes = []
     st, a, x1 = gstate, a0, q0
+    al = jnp.zeros((), jnp.float32)
     for _ in range(2):
-        out = step(st, q0, a, x1, mask)
-        st, a, x1 = out.gmm, out.a0, out.x1
+        out = step(st, q0, a, x1, mask, al)
+        st, a, x1, al = out.gmm, out.a0, out.x1, out.alpha
         fes.append(float(out.fe))
+    assert np.isfinite(float(al)) and float(al) > 0.0
     assert fes[1] <= fes[0] + 1e-3 * abs(fes[0])
 
     # --- single-device equivalent alternation
     from difficp_tpu.utils.lbfgs import lbfgs_optimize
 
-    def single_step(st, a, x1):
+    def single_step(st, a, x1, al):
         for _ in range(kw["em_iters"]):
             st = gmm_mod.em_step(st, x1, mask, gcfg).state
         out = gmm_mod.em_step(st, x1, mask, gcfg, skip_m=True)
@@ -166,14 +168,17 @@ def test_sharded_twoset_step_matches_single_device():
             lcfg, dataloss, q0, a, None, mask, None, nmax=kw["reg_nmax"],
             tol=kw["tol"], inner=kw["reg_inner"],
             max_linesearch_steps=kw["reg_ls"],
+            # warm-start like the sharded step threads out.alpha
+            alpha0=al if al is not None else None,
         )
         fe = float(out.cfe + res.trajl + res.datal)
-        return st, res.p0, res.final.q, fe
+        return st, res.p0, res.final.q, fe, res.alpha
 
     st1, a1, x11 = gstate, a0, q0
+    al1 = None
     fes_1 = []
     for _ in range(2):
-        st1, a1, x11, fe = single_step(st1, a1, x11)
+        st1, a1, x11, fe, al1 = single_step(st1, a1, x11, al1)
         fes_1.append(fe)
 
     np.testing.assert_allclose(fes, fes_1, rtol=2e-3)
