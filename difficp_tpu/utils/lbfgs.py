@@ -83,35 +83,66 @@ def lbfgs_optimize(
     )
     value_and_grad = optax.value_and_grad_from_state(lossfn)
 
-    def inner_step(carry, _):
-        params, state, best_p, best_l = carry
-        value, grad = value_and_grad(params, state=state)
-        # track the pre-update point too: costs nothing (value is already
-        # computed) and guarantees best_l <= entry loss even on the warm
-        # path, whose best_l starts at +inf without an l0 seeding eval
-        b0 = jnp.logical_and(value < best_l, jnp.isfinite(value))
-        best_p = jax.tree.map(
-            lambda c, b: jnp.where(b0, c, b), params, best_p
-        )
-        best_l = jnp.where(b0, value, best_l)
-        updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=lossfn
-        )
-        new_params = optax.apply_updates(params, updates)
-        # value at the accepted line-search point
-        new_value = otu.tree_get(state, "value")
-        bad = jnp.logical_or(~jnp.isfinite(new_value), new_value > errthresh)
-        better = jnp.logical_and(new_value < best_l, ~bad)
-        best_p = jax.tree.map(
-            lambda n, b: jnp.where(better, n, b), new_params, best_p
-        )
-        best_l = jnp.where(better, new_value, best_l)
-        # on divergence, fall back to best params (state keeps going; the
-        # next linesearch restarts from there)
-        new_params = jax.tree.map(
-            lambda n, b: jnp.where(bad, b, n), new_params, best_p
-        )
-        return (new_params, state, best_p, best_l), None
+    def make_inner_step(active):
+        # ``active`` is this lane's outer-loop condition re-evaluated inside
+        # the body.  In unbatched execution it is always True (the body only
+        # runs while the condition holds) so gating on it is a no-op.  Under
+        # vmap, lax.while_loop runs the body for EVERY lane until ALL lanes
+        # finish, only masking the carry — so a converged lane would keep
+        # line-searching its flat landscape with its real gradient and
+        # exhaust max_linesearch_steps every iteration, dragging the whole
+        # batch (the zoom's trip count is the max over lanes).  Feeding done
+        # lanes a ZERO gradient makes their zoom direction zero, which
+        # satisfies both strong-Wolfe conditions at the first trial — done
+        # lanes then cost one (batched) eval instead of the full budget, and
+        # the batch runs at the pace of the ACTIVE lanes.
+        def inner_step(carry, _):
+            params, state, best_p, best_l = carry
+            value, grad = value_and_grad(params, state=state)
+            grad = jax.tree.map(
+                lambda g: jnp.where(active, g, jnp.zeros_like(g)), grad
+            )
+            # track the pre-update point too: costs nothing (value is
+            # already computed) and guarantees best_l <= entry loss even on
+            # the warm path, whose best_l starts at +inf without an l0
+            # seeding eval
+            b0 = jnp.logical_and(value < best_l, jnp.isfinite(value))
+            best_p = jax.tree.map(
+                lambda c, b: jnp.where(b0, c, b), params, best_p
+            )
+            best_l = jnp.where(b0, value, best_l)
+            updates, new_state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=lossfn
+            )
+            new_params = optax.apply_updates(params, updates)
+            # freeze done lanes exactly (a (s=0, y=0) memory pair would put
+            # 0/0 NaNs in the state and poison the lane's later zooms)
+            new_params = jax.tree.map(
+                lambda n, p: jnp.where(active, n, p), new_params, params
+            )
+            new_state = jax.tree.map(
+                lambda n, s: jnp.where(active, n, s) if n.shape == s.shape
+                else n,
+                new_state, state,
+            )
+            state = new_state
+            # value at the accepted line-search point
+            new_value = otu.tree_get(state, "value")
+            bad = jnp.logical_or(~jnp.isfinite(new_value),
+                                 new_value > errthresh)
+            better = jnp.logical_and(new_value < best_l, ~bad)
+            best_p = jax.tree.map(
+                lambda n, b: jnp.where(better, n, b), new_params, best_p
+            )
+            best_l = jnp.where(better, new_value, best_l)
+            # on divergence, fall back to best params (state keeps going;
+            # the next linesearch restarts from there)
+            new_params = jax.tree.map(
+                lambda n, b: jnp.where(bad, b, n), new_params, best_p
+            )
+            return (new_params, state, best_p, best_l), None
+
+        return inner_step
 
     def outer_cond(carry):
         i, params, state, best_p, best_l, change, ref = carry
@@ -121,10 +152,12 @@ def lbfgs_optimize(
     state0 = opt.init(p0)
 
     def outer_body(carry):
-        i, params, state, best_p, best_l, change, _, key = carry
+        i, params, state, best_p, best_l, change, ref, key = carry
+        active = outer_cond((i, params, state, best_p, best_l, change, ref))
         prev = params
         (params, state, best_p, best_l), _ = jax.lax.scan(
-            inner_step, (params, state, best_p, best_l), None, length=inner
+            make_inner_step(active),
+            (params, state, best_p, best_l), None, length=inner,
         )
         # divergence recovery (reference optim.py:60-97): if the block ends
         # on a non-finite/aberrant loss, restart from the best-seen params
