@@ -35,7 +35,7 @@ from difficp_tpu.ops.solvers import (
     kpinv_solve, kridge_solve, kridge_solve_cg, svd_pow,
 )
 from difficp_tpu.utils.integrators import integrate
-from difficp_tpu.utils.lbfgs import lbfgs_optimize
+from difficp_tpu.utils.lbfgs import lbfgs_optimize, seed_alpha_for
 
 
 class LDDMMConfig(NamedTuple):
@@ -182,14 +182,7 @@ def seed_alpha(cfg, dataloss, q0, p0, x0=None, qmask=None, xmask=None):
     lossfn = _make_lossfn(cfg, dataloss, jax.lax.stop_gradient(q0),
                           None if x0 is None else jax.lax.stop_gradient(x0),
                           qmask, xmask)
-    l0, g0 = jax.value_and_grad(lossfn)(p0)
-    n = float(sum(a.size for a in jax.tree.leaves(g0)))
-    sq = jnp.sqrt(sum(jnp.sum(a**2) for a in jax.tree.leaves(g0)) / n)
-    g0_norm = sq * jnp.sqrt(jnp.asarray(n, l0.dtype))
-    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
-    # a non-finite entry loss means the seed is meaningless; fall back to
-    # the 1.0 sentinel handled inside lbfgs_optimize
-    return jnp.where(jnp.isfinite(l0), seed, 1.0).astype(jnp.float32)
+    return seed_alpha_for(lossfn, p0)
 
 
 def optimize(

@@ -35,7 +35,7 @@ from difficp_tpu.models import lddmm as lddmm_mod
 from difficp_tpu.ops import backend as red
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import pad_structures
-from difficp_tpu.utils.lbfgs import lbfgs_optimize
+from difficp_tpu.utils.lbfgs import lbfgs_optimize, seed_alpha_for
 from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
@@ -150,13 +150,10 @@ def _xx_term(x, sigma, mask_x):
     return jnp.vdot(wx, red.kred_scal(x, x, wx, sigma))
 
 
-@partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
-def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                      nmax, tol, use_weights, alpha0=None):
-    """L-BFGS over one structure's template (and optional weights), gradient
-    through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
-    so repeated Template_opt calls reuse the compiled program instead of
-    re-tracing a fresh closure each time."""
+def _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2, use_weights):
+    """Template objective over one structure: sum over K frozen shoots of
+    the RKHS distance (PSR_standard.py:226-255).  The optimization variable
+    is y0s, or the pytree (y0s, w0s) when ``use_weights``."""
 
     def loss_of(ys, ws):
         def per_frame(a0k, xk, xmk):
@@ -167,13 +164,35 @@ def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
         return jnp.sum(jax.vmap(per_frame)(a0, x_s, xm_s)) / noise2
 
     if use_weights:
-        res = lbfgs_optimize(
-            lambda p: loss_of(p[0], p[1]), (y0s, w0s), nmax=nmax, tol=tol,
-            alpha0=alpha0,
-        )
+        return lambda p: loss_of(p[0], p[1])
+    return lambda y: loss_of(y, None)
+
+
+@partial(jax.jit, static_argnames=("lcfg", "use_weights"))
+def _seed_alpha_tmpl(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                     use_weights):
+    """Zoom seed for ``_template_opt_std`` (one grad through the K frozen
+    shoots) — keeps the template L-BFGS on its single warm variant."""
+    lossfn = _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2,
+                          use_weights)
+    p0 = (y0s, w0s) if use_weights else y0s
+    return seed_alpha_for(lossfn, p0)
+
+
+@partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
+def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                      nmax, tol, use_weights, alpha0=None):
+    """L-BFGS over one structure's template (and optional weights), gradient
+    through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
+    so repeated Template_opt calls reuse the compiled program instead of
+    re-tracing a fresh closure each time."""
+    lossfn = _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2,
+                          use_weights)
+    if use_weights:
+        res = lbfgs_optimize(lossfn, (y0s, w0s), nmax=nmax, tol=tol,
+                             alpha0=alpha0)
         return res.params[0], res.params[1], res.loss, res.n_steps, res.alpha
-    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax, tol=tol,
-                         alpha0=alpha0)
+    res = lbfgs_optimize(lossfn, y0s, nmax=nmax, tol=tol, alpha0=alpha0)
     return res.params, w0s, res.loss, res.n_steps, res.alpha
 
 
@@ -519,12 +538,21 @@ class DiffPSRStd(MultiPSRStd):
         tmpl_alpha = getattr(self, "_tmpl_alpha", [None] * self.S)
         for s in range(self.S):
             ylo, yhi, xlo, xhi = self.slices[s]
+            w0s = (self.w0[s] if self.template_weights
+                   else jnp.zeros((0,), self.y0[s].dtype))
+            if tmpl_alpha[s] is None:
+                # seed via the small program: the L-BFGS program keeps its
+                # single warm compiled variant
+                tmpl_alpha[s] = _seed_alpha_tmpl(
+                    self.lcfg, self.q0, self.a0,
+                    self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
+                    self.y0[s], w0s, self.data_sigma,
+                    self.noise_std[s] ** 2, self.template_weights,
+                )
             ys, ws, loss, n_steps, als = _template_opt_std(
                 self.lcfg, self.q0, self.a0,
                 self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
-                self.y0[s],
-                self.w0[s] if self.template_weights
-                else jnp.zeros((0,), self.y0[s].dtype),
+                self.y0[s], w0s,
                 self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
                 self.template_weights, alpha0=tmpl_alpha[s],
             )
@@ -617,7 +645,19 @@ class DiffPSRStd(MultiPSRStd):
         if tmpl_alpha is not None and all(a is not None for a in tmpl_alpha):
             tmpl_alpha = jnp.stack([jnp.asarray(a) for a in tmpl_alpha])
         else:
-            tmpl_alpha = jnp.zeros((self.S,), jnp.float32)
+            # seed iteration 0 per structure (small programs)
+            tmpl_alpha = jnp.stack([
+                _seed_alpha_tmpl(
+                    self.lcfg, self.q0, self.a0,
+                    self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
+                    self.y0[s],
+                    (self.w0[s] if self.template_weights
+                     else jnp.zeros((0,), self.ally0.dtype)),
+                    self.data_sigma, self.noise_std[s] ** 2,
+                    self.template_weights,
+                )
+                for s, (ylo, yhi, xlo, xhi) in enumerate(self.slices)
+            ])
         reg_alpha = getattr(self, "_reg_alpha", None)
         if reg_alpha is None:
             # seed iteration 0 at ~1/||g0|| (small program) instead of the

@@ -54,6 +54,25 @@ def _tree_diff_rms(a, b):
     return _rms(jax.tree.map(lambda x, y: x - y, a, b))
 
 
+def seed_alpha_for(lossfn: Callable, p0) -> jax.Array:
+    """Zoom line-search seed ~ min(1, 1/||g0||) for ``lossfn`` at ``p0``
+    (the classical first-step heuristic; same norm convention as the
+    internal cold-path seeding of ``lbfgs_optimize``).
+
+    Computing the seed in its own small program lets every
+    ``lbfgs_optimize`` call take the warm ``alpha0`` path — one compiled
+    L-BFGS program per configuration instead of separate cold/warm
+    variants (at scale each variant is a multi-minute remote compile,
+    while this single fwd+bwd eval compiles in seconds)."""
+    l0, g0 = jax.value_and_grad(lossfn)(p0)
+    n = float(sum(a.size for a in jax.tree.leaves(g0)))
+    g0_norm = _rms(g0) * jnp.sqrt(jnp.asarray(n, l0.dtype))
+    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
+    # a non-finite entry loss makes the seed meaningless; fall back to the
+    # 1.0 sentinel handled inside lbfgs_optimize
+    return jnp.where(jnp.isfinite(l0), seed, 1.0).astype(jnp.float32)
+
+
 def lbfgs_optimize(
     lossfn: Callable,
     p0,
