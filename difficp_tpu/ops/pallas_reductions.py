@@ -463,10 +463,18 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
     @jax.custom_vjp
     def op(q, p, mask):
         if eta == 0.0:
-            # payload-matmul kernel: reductions ride the MXU (~2x the
-            # streaming kernel's throughput)
-            vq, gq, dc = _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet,
-                                          ti, tj)
+            # payload-matmul kernels: reductions ride the MXU.  The
+            # symmetric-pair variant computes each unordered tile pair once
+            # (halves the exp work — the VPU roofline); it keeps a raw
+            # (16, Mpad) table VMEM-resident, so beyond ~140k points fall
+            # back to the streaming-output full-pairs kernel.
+            m = q.shape[0]
+            if -(-m // ti) * ti <= _SYM_MAX_MPAD:
+                vq, gq, dc = _rhs_self_fwd_sym_mm(q, p, mask, sigma,
+                                                  withlogdet, ti)
+            else:
+                vq, gq, dc = _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet,
+                                              ti, tj)
         else:
             vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta,
                                               withlogdet, ti, tj)
@@ -532,6 +540,26 @@ def _mm_dot(k, pt):
         return out + jax.lax.dot_general(k_lo, p_hi, dn,
                                          preferred_element_type=jnp.float32)
     return jax.lax.dot_general(k, pt, dn, preferred_element_type=jnp.float32,
+                               precision=_MM_MODE)
+
+
+def _mm3(a, b, dn):
+    """dot_general under the _MM_MODE numerics policy (split3 = 3-pass bf16
+    emulation of the f32 product, as in ``_mm_dot``), for arbitrary
+    contraction dims — used by the symmetric kernel's two contraction
+    layouts."""
+    if _MM_MODE == "split3":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(a_hi, b_hi, dn,
+                                  preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(a_hi, b_lo, dn,
+                                        preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(a_lo, b_hi, dn,
+                                         preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
                                precision=_MM_MODE)
 
 
@@ -810,6 +838,135 @@ def _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet, ti=256, tj=512):
     gq = out[d : 2 * d, :m].T
     dc = jnp.sum(out[2 * d])
     return vq, gq, dc
+
+
+def _rhs_self_sym_mm_kernel(full_ref, out_ref, *, sigma, t, d):
+    """Symmetric-pair payload-matmul forward of the fused self RHS.
+
+    The Gaussian kernel is symmetric (K_ij = K_ji), so each unordered tile
+    pair (i, j<=i) is computed ONCE: grid step i streams j-tiles 0..i,
+    evaluates the (t, t) exp tile once, and accumulates BOTH sides —
+    A_i[c] += sum_j K_ij m_j c_j  and  A_j[c] += sum_i K_ij m_i c_i.
+    This halves the exp work, which is the measured VPU roofline of the
+    full-pairs kernel (exp-only roofline ~268 Gpair/s on v5e; the
+    full-pairs fwd sits at ~166).
+
+    Because a point's table keeps receiving contributions until the LAST
+    grid step, the row-side recombination (vq/Gq/dcost from A — linear in
+    A) moves OUTSIDE the kernel (``_sym_epilogue``); out_ref is the raw
+    (16, Mpad) kernel-sum table A, VMEM-resident across all grid steps
+    (constant index map), rows ordered by ``_fwd_col_table(d)``.
+    """
+    i = pl.program_id(0)
+    u = 1.0 / (sigma * sigma)
+    idx = _fwd_col_table(d)
+    ncols = len(idx)
+    rows16 = out_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    i0 = i * t
+    qi = [full_ref[dd, pl.ds(i0, t)] for dd in range(d)]
+    pi = [full_ref[d + dd, pl.ds(i0, t)] for dd in range(d)]
+    mi = full_ref[2 * d, pl.ds(i0, t)]
+
+    def payload(qv, pv, mv):
+        # (16, t) masked payload table (rows ncols..15 zero-padded so all
+        # sublane blocks stay 8-aligned)
+        rows = [jnp.zeros((t,), jnp.float32)] * rows16
+        rows[idx[("one",)]] = mv
+        for e in range(d):
+            rows[idx[("q", e)]] = qv[e] * mv
+            rows[idx[("p", e)]] = pv[e] * mv
+        for e in range(d):
+            for f in range(d):
+                rows[idx[("qp", e, f)]] = qv[e] * pv[f] * mv
+        return jnp.stack(rows, axis=0)
+
+    pload_i = payload(qi, pi, mi)
+
+    def body(jt, acc):
+        j0 = jt * t
+        qj = [full_ref[dd, pl.ds(j0, t)] for dd in range(d)]
+        pj = [full_ref[d + dd, pl.ds(j0, t)] for dd in range(d)]
+        mj = full_ref[2 * d, pl.ds(j0, t)]
+        d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
+        kraw = jnp.exp(-0.5 * d2 * u)  # (t_i, t_j), computed ONCE per pair
+
+        # i-side: acc[c, ii] += sum_jj kraw[ii, jj] * pload_j[c, jj]
+        pload_j = payload(qj, pj, mj)
+        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
+        # j-side (strictly off-diagonal; the diagonal tile already contains
+        # both orderings of its within-tile pairs)
+        off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
+        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())))  # (16, t_j)
+        out_ref[:, pl.ds(j0, t)] += contrib * off
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, i + 1, body, jnp.zeros((rows16, t), jnp.float32)
+    )
+    out_ref[:, pl.ds(i0, t)] += acc
+
+
+def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
+    """Symmetric-pair forward wrapper: pallas raw-table kernel + jnp
+    epilogue.  Same output contract as ``_rhs_self_fwd_mm``."""
+    m, d = q.shape
+    mpad = -(-m // t) * t
+    packed = _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)] + [mask],
+        mpad,
+    )
+    kernel = functools.partial(
+        _rhs_self_sym_mm_kernel, sigma=float(sigma), t=t, d=d,
+    )
+    table = pl.pallas_call(
+        kernel,
+        grid=(mpad // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, mpad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, mpad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(packed)
+
+    # row-side recombination (identical formulas to _rhs_self_mm_kernel's
+    # in-kernel epilogue, applied once per point after ALL accumulation)
+    idx = _fwd_col_table(d)
+    u = 1.0 / (sigma * sigma)
+    A = {key: table[col, :m] for key, col in idx.items()}
+    qs = [q[:, dd] for dd in range(d)]
+    ps = [p[:, dd] for dd in range(d)]
+    vq = jnp.stack([A[("p", f)] for f in range(d)], axis=1) * mask[:, None]
+    gq_cols = []
+    for dd in range(d):
+        tt = qs[dd] * sum(ps[e] * A[("p", e)] for e in range(d))
+        tt = tt - sum(ps[e] * A[("qp", dd, e)] for e in range(d))
+        gq_cols.append(-u * tt * mask)
+    gq = jnp.stack(gq_cols, axis=1)
+    if withlogdet:
+        pq = sum(ps[e] * qs[e] for e in range(d))
+        dc = jnp.sum(
+            -u * mask * (pq * A[("one",)] - sum(ps[e] * A[("q", e)]
+                                                for e in range(d)))
+        )
+    else:
+        dc = jnp.zeros((), jnp.float32)
+    return vq, gq, dc
+
+
+# symmetric fwd kernel VMEM budget: (8 + 16) rows x Mpad x 4 B resident;
+# stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
+# full-pairs kernel
+_SYM_MAX_MPAD = 140 * 1024
 
 
 def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):

@@ -107,3 +107,30 @@ def test_rhs_ext_pallas_grads():
         # atol ~ split3 noise floor relative to the O(50) gradient scale
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_sym_kernel_matches_full_pairs():
+    """Symmetric-pair fwd (each unordered tile pair computed once, dual
+    accumulation into a resident raw table) == streaming full-pairs fwd ==
+    dense, masked, at a size spanning several tiles."""
+    from difficp_tpu.ops.pallas_reductions import (
+        _rhs_self_fwd_mm, _rhs_self_fwd_sym_mm,
+    )
+
+    m = 700
+    q7 = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32))
+    p7 = jnp.asarray(rng.normal(size=(m, 2)).astype(np.float32) * 0.3)
+    m7 = jnp.asarray((np.arange(m) < m - 33).astype(np.float32))
+    vq_s, gq_s, dc_s = _rhs_self_fwd_sym_mm(q7, p7, m7, SIG, True, t=128)
+    vq_f, gq_f, dc_f = _rhs_self_fwd_mm(q7, p7, m7, SIG, True, ti=128, tj=128)
+    np.testing.assert_allclose(np.asarray(vq_s), np.asarray(vq_f),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_f),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(float(dc_s), float(dc_f), rtol=1e-3,
+                               atol=1e-3)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(q7, p7, SIG, 0.0, True, m7)
+    np.testing.assert_allclose(np.asarray(vq_s), np.asarray(vq_d),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(-gq_s), np.asarray(mgq_d),
+                               rtol=1e-3, atol=2e-3)
