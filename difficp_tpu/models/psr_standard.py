@@ -704,6 +704,105 @@ class DiffPSRStd(MultiPSRStd):
         return es
 
 
+def _affine_frame_lossfn(ally0, noise2, data_sigma, w0c, slices, version):
+    """Per-frame affine RKHS objective over the optimization pytree
+    (general_affine: (M, t); rigid: (A, t) with M = expm((A-A^T)/2);
+    similarity: (A, t, s))."""
+
+    def frame_loss(m, t, xk, xmk):
+        pts = affine_mod.apply(m, t, ally0)
+        l = jnp.zeros((), pts.dtype)
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            l = l + data_distance(
+                xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                w=None if w0c is None else w0c[ylo:yhi],
+                mask_x=xmk[xlo:xhi], skip_xx=True,
+            ) / noise2[s]
+        return l
+
+    def mat_of(params):
+        if version == "general_affine":
+            return params[0]
+        if version == "rigid":
+            return jax.scipy.linalg.expm((params[0] - params[0].T) / 2)
+        return params[2] * jax.scipy.linalg.expm((params[0] - params[0].T) / 2)
+
+    return frame_loss, mat_of
+
+
+@partial(jax.jit,
+         static_argnames=("slices", "version", "nmax"))
+def _reg_opt_affine_std(M, t, x, xmask, ally0, noise2, data_sigma, w0c,
+                        slices, version, nmax, tol, alpha0):
+    """All-frames affine registration (module-level jit: repeated Reg_opt
+    calls reuse the compiled program; warm line-search threading like the
+    LDDMM paths)."""
+    frame_loss, mat_of = _affine_frame_lossfn(
+        ally0, noise2, data_sigma, w0c, slices, version
+    )
+
+    def optimize_frame(m0, t0, xk, xmk, alk):
+        if version == "general_affine":
+            p0 = (m0, t0)
+        elif version == "rigid":
+            p0 = (jnp.zeros_like(m0), t0)
+        else:
+            p0 = (jnp.zeros_like(m0), t0, jnp.ones(()))
+
+        def lossfn(p):
+            return frame_loss(mat_of(p), p[1], xk, xmk)
+
+        res = lbfgs_optimize(lossfn, p0, nmax=nmax, tol=tol, alpha0=alk)
+        return (mat_of(res.params), res.params[1], res.loss, res.n_steps,
+                res.alpha)
+
+    return jax.vmap(optimize_frame)(M, t, x, xmask, alpha0)
+
+
+@partial(jax.jit, static_argnames=("slices", "version"))
+def _seed_alphas_affine_std(M, t, x, xmask, ally0, noise2, data_sigma, w0c,
+                            slices, version):
+    frame_loss, mat_of = _affine_frame_lossfn(
+        ally0, noise2, data_sigma, w0c, slices, version
+    )
+
+    def one(m0, t0, xk, xmk):
+        if version == "general_affine":
+            p0 = (m0, t0)
+        elif version == "rigid":
+            p0 = (jnp.zeros_like(m0), t0)
+        else:
+            p0 = (jnp.zeros_like(m0), t0, jnp.ones(()))
+        return seed_alpha_for(
+            lambda p: frame_loss(mat_of(p), p[1], xk, xmk), p0
+        )
+
+    return jax.vmap(one)(M, t, x, xmask)
+
+
+@partial(jax.jit, static_argnames=("use_weights", "nmax"))
+def _template_opt_affine_std(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                             nmax, tol, use_weights, alpha0):
+    """One structure's template move under frozen affine registrations
+    (module-level jit, warm threading)."""
+
+    def loss_of(y0v, ws):
+        def per_frame(m, tt, xk, xmk):
+            pts = affine_mod.apply(m, tt, y0v)
+            return data_distance(
+                xk, pts, data_sigma, w=ws, mask_x=xmk, skip_xx=True,
+            )
+        return jnp.sum(jax.vmap(per_frame)(M, t, x_s, xm_s)) / noise2
+
+    if use_weights:
+        res = lbfgs_optimize(lambda p: loss_of(p[0], p[1]), (y0s, w0s),
+                             nmax=nmax, tol=tol, alpha0=alpha0)
+        return res.params[0], res.params[1], res.alpha
+    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax,
+                         tol=tol, alpha0=alpha0)
+    return res.params, w0s, res.alpha
+
+
 class AffinePSRStd(MultiPSRStd):
     """Standard algorithm with affine registrations — iterative fits, no
     closed form for the RKHS loss (reference AffinePSR_std,
@@ -731,61 +830,19 @@ class AffinePSRStd(MultiPSRStd):
         )
 
     def Reg_opt(self, nmax=10, tol=1e-5):
-        ally0 = self.ally0
-        noise2 = jnp.asarray([v**2 for v in self.noise_std])
-        slices = tuple(self.slices)
-        w0c = self.w0_cat
-        data_sigma = self.data_sigma
         version = self.acfg.version
-
-        def frame_loss(m, t, xk, xmk):
-            pts = affine_mod.apply(m, t, ally0)
-            l = jnp.zeros((), pts.dtype)
-            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-                l = l + data_distance(
-                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
-                    w=None if w0c is None else w0c[ylo:yhi],
-                    mask_x=xmk[xlo:xhi], skip_xx=True,
-                ) / noise2[s]
-            return l
-
-        def optimize_frame(m0, t0, xk, xmk):
-            if version == "general_affine":
-                res = lbfgs_optimize(
-                    lambda p: frame_loss(p[0], p[1], xk, xmk), (m0, t0),
-                    nmax=nmax, tol=tol,
-                )
-                m1, t1 = res.params
-            elif version in ("rigid", "similarity"):
-                # skew-log parametrization M = s * expm((A - A^T)/2)
-                a0 = jnp.zeros_like(m0)
-                if version == "rigid":
-                    res = lbfgs_optimize(
-                        lambda p: frame_loss(
-                            jax.scipy.linalg.expm((p[0] - p[0].T) / 2), p[1],
-                            xk, xmk,
-                        ),
-                        (a0, t0), nmax=nmax, tol=tol,
-                    )
-                    aa, t1 = res.params
-                    m1 = jax.scipy.linalg.expm((aa - aa.T) / 2)
-                else:
-                    res = lbfgs_optimize(
-                        lambda p: frame_loss(
-                            p[2] * jax.scipy.linalg.expm((p[0] - p[0].T) / 2),
-                            p[1], xk, xmk,
-                        ),
-                        (a0, t0, jnp.ones(())), nmax=nmax, tol=tol,
-                    )
-                    aa, t1, sc = res.params
-                    m1 = sc * jax.scipy.linalg.expm((aa - aa.T) / 2)
-            else:
-                raise NotImplementedError(version)
-            return m1, t1, res.loss, res.n_steps
-
-        m, t, losses, nsteps = jax.vmap(optimize_frame)(
-            self.M, self.t, self.x, self.xmask
+        if version not in ("general_affine", "rigid", "similarity"):
+            raise NotImplementedError(version)
+        noise2 = jnp.asarray([v**2 for v in self.noise_std])
+        args = (self.M, self.t, self.x, self.xmask, self.ally0, noise2,
+                self.data_sigma, self.w0_cat, tuple(self.slices), version)
+        alpha0 = getattr(self, "_reg_alpha", None)
+        if alpha0 is None:
+            alpha0 = _seed_alphas_affine_std(*args)
+        m, t, losses, nsteps, alpha = _reg_opt_affine_std(
+            *args, nmax, tol, alpha0
         )
+        self._reg_alpha = alpha
         self.M, self.t = m, t
         self._apply_current()
         self.update_datalosses()
@@ -795,33 +852,26 @@ class AffinePSRStd(MultiPSRStd):
         )
 
     def Template_opt(self, nmax=10, tol=1e-3):
+        tmpl_alpha = getattr(self, "_tmpl_alpha", [None] * self.S)
         for s in range(self.S):
             ylo, yhi, xlo, xhi = self.slices[s]
             noise2 = self.noise_std[s] ** 2
             x_s = self.x[:, xlo:xhi]
             xm_s = self.xmask[:, xlo:xhi]
-            m_all, t_all = self.M, self.t
-
-            def loss_of(y0s, ws):
-                def per_frame(m, t, xk, xmk):
-                    pts = affine_mod.apply(m, t, y0s)
-                    return data_distance(
-                        xk, pts, self.data_sigma, w=ws, mask_x=xmk,
-                        skip_xx=True,
-                    )
-                return jnp.sum(jax.vmap(per_frame)(m_all, t_all, x_s, xm_s)) / noise2
-
+            w0s = (self.w0[s] if self.template_weights
+                   else jnp.zeros((0,), self.y0[s].dtype))
+            if tmpl_alpha[s] is None:
+                tmpl_alpha[s] = jnp.asarray(1.0, jnp.float32)
+            ys, ws, als = _template_opt_affine_std(
+                self.M, self.t, x_s, xm_s, self.y0[s], w0s,
+                self.data_sigma, noise2, nmax, tol, self.template_weights,
+                tmpl_alpha[s],
+            )
+            tmpl_alpha[s] = als
+            self.y0[s] = ys
             if self.template_weights:
-                res = lbfgs_optimize(
-                    lambda p: loss_of(p[0], p[1]), (self.y0[s], self.w0[s]),
-                    nmax=nmax, tol=tol,
-                )
-                self.y0[s], self.w0[s] = res.params
-            else:
-                res = lbfgs_optimize(
-                    lambda y: loss_of(y, None), self.y0[s], nmax=nmax, tol=tol
-                )
-                self.y0[s] = res.params
+                self.w0[s] = ws
+        self._tmpl_alpha = tmpl_alpha
         self._apply_current()
         self.update_datalosses()
         self.update_E()
