@@ -100,12 +100,14 @@ def tpu_fused(n_iter=6, chunk=2, reg_nmax=6, reg_inner=10, reg_ls=12):
     psr.set_support_scheme("grid", rho=1.0)
 
     t0 = time.time()
-    fes = psr.run(chunk, max_em=25, reg_nmax=reg_nmax, chunk=chunk)
+    fes = psr.run(chunk, max_em=25, reg_nmax=reg_nmax, chunk=chunk,
+                  reg_inner=reg_inner, reg_ls=reg_ls)
     print(f"compile+first chunk({chunk}): {time.time()-t0:.1f}s "
           f"FE={psr.FE:.2f}", flush=True)
 
     t0 = time.time()
-    fes = psr.run(n_iter, max_em=25, reg_nmax=reg_nmax, chunk=chunk)
+    fes = psr.run(n_iter, max_em=25, reg_nmax=reg_nmax, chunk=chunk,
+                  reg_inner=reg_inner, reg_ls=reg_ls)
     dt = (time.time() - t0) / n_iter
     print(json.dumps({"mode": "tpu_fused", "K": 64, "chunk": chunk,
                       "s_per_iter": round(dt, 3), "FE_last": psr.FE,

@@ -74,6 +74,20 @@ def _quadloss(x1, y, w, sig2):
     )
 
 
+def _frame_quad_dataloss(yk, sig2k, xmk, wk):
+    """One frame's quadratic GMM dataloss sum_n w_n |pts_n - y_n|^2 / 2s^2
+    (PSR.py:217-222) — THE shared builder for the seed program, the
+    stepwise Reg_opt and the fused run loop, so the 1/||g0|| seeds can
+    never drift from the optimized objective."""
+
+    def dataloss(pts):
+        return jnp.sum(
+            (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
+        )
+
+    return dataloss
+
+
 @partial(jax.jit, static_argnames=("lcfg", "use_ext"))
 def _seed_alphas_lddmm(lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw,
                        use_ext):
@@ -83,11 +97,7 @@ def _seed_alphas_lddmm(lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw,
     variant would cost a second multi-minute remote compile."""
 
     def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
-        def dataloss(pts):
-            return jnp.sum(
-                (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
-            )
-
+        dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         return lddmm_mod.seed_alpha(
             lcfg, dataloss, q0k, a0k,
             x0k if use_ext else None, qmk, xmk if use_ext else None,
@@ -119,11 +129,7 @@ def _reg_opt_lddmm(
         alpha0 = jnp.zeros((q0.shape[0],), jnp.float32)  # dummy for vmap
 
     def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
-        def dataloss(pts):
-            return jnp.sum(
-                (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
-            )
-
+        dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         res = lddmm_mod.optimize(
             lcfg,
             dataloss,
@@ -240,11 +246,7 @@ def _run_loop_lddmm(
         sig2 = sig2_of(gstates)
 
         def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
-            def dataloss(pts):
-                return jnp.sum(
-                    (xmk * wk)[:, None] * (pts - yk) ** 2 / (2.0 * sig2k[:, None])
-                )
-
+            dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
             res = lddmm_mod.optimize(
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
@@ -622,17 +624,21 @@ class DiffPSR(MultiPSR):
         done = 0
         # always pass a (K,) array: None vs array changes the jit signature
         # and would recompile the whole fused loop on the first warm call.
-        # A fresh PSR seeds iteration 0 at ~1/||g0|| against the CURRENT
-        # targets (order-of-magnitude proxy for the post-EM loss scale —
-        # the zoom and the 16x warm-seed trust window absorb the rest),
-        # instead of the raw 1.0 sentinel.
+        # When EM has already run, seed iteration 0 at ~1/||g0|| against the
+        # current targets (order-of-magnitude proxy for the post-EM loss
+        # scale — the zoom and the warm-seed trust window absorb the rest).
+        # On a FRESH PSR the seed would be exactly the 1.0 sentinel anyway
+        # (y == x0 and a0 == 0 give g0 == 0), so skip the seed program.
         alpha = getattr(self, "_reg_alpha", None)
         if alpha is None:
-            alpha = _seed_alphas_lddmm(
-                self.lcfg, self.q0, self.a0, self.x0, self.y,
-                self._sig2_vector(), self.qmask, self.xmask, self.ptw,
-                use_ext,
-            )
+            if self.FE is None:
+                alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
+            else:
+                alpha = _seed_alphas_lddmm(
+                    self.lcfg, self.q0, self.a0, self.x0, self.y,
+                    self._sig2_vector(), self.qmask, self.xmask, self.ptw,
+                    use_ext,
+                )
         while done < n_iters:
             c = min(chunk, n_iters - done)
             gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(

@@ -78,6 +78,26 @@ def data_distance(x, y, sigma, w=None, mask_x=None, mask_y=None,
 # ---------------------------------------------------------------------------
 
 
+def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
+    """One frame's RKHS dataloss sum_s data_distance(x_s, pts_s)/noise2_s
+    (skip_xx; PSR_standard.py:168-177) — THE shared builder for the seed
+    programs, stepwise Reg_opt, the fused run loop and the affine fits, so
+    the 1/||g0|| seeds can never drift from the optimized objective.
+    ``w0`` is the concatenated template weights or None."""
+
+    def dataloss(pts):
+        l = jnp.zeros((), pts.dtype)
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            l = l + data_distance(
+                xk[xlo:xhi], pts[ylo:yhi], data_sigma,
+                w=None if w0 is None else w0[ylo:yhi],
+                mask_x=xmk[xlo:xhi], skip_xx=True,
+            ) / noise2[s]
+        return l
+
+    return dataloss
+
+
 @partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext"))
 def _seed_alphas_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                      slices, use_ext):
@@ -86,16 +106,8 @@ def _seed_alphas_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
     variant — see psr._seed_alphas_lddmm."""
 
     def one(a0k, xk, xmk):
-        def dataloss(pts):
-            l = jnp.zeros((), pts.dtype)
-            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-                l = l + data_distance(
-                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
-                    w=None if w0 is None else w0[ylo:yhi],
-                    mask_x=xmk[xlo:xhi], skip_xx=True,
-                ) / noise2[s]
-            return l
-
+        dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
+                                        slices)
         return lddmm_mod.seed_alpha(
             lcfg, dataloss, q0, a0k, ally0 if use_ext else None, None, None,
         )
@@ -118,17 +130,9 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
         alpha0 = jnp.zeros((a0.shape[0],), jnp.float32)  # dummy for vmap
 
     def one(a0k, xk, xmk, alk):
-        def dataloss(pts):
-            # skip_xx: the data-data term is constant wrt the momenta
-            l = jnp.zeros((), pts.dtype)
-            for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-                l = l + data_distance(
-                    xk[xlo:xhi], pts[ylo:yhi], data_sigma,
-                    w=None if w0 is None else w0[ylo:yhi],
-                    mask_x=xmk[xlo:xhi], skip_xx=True,
-                ) / noise2[s]
-            return l
-
+        # skip_xx: the data-data term is constant wrt the momenta
+        dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
+                                        slices)
         res = lddmm_mod.optimize(
             lcfg, dataloss, q0, a0k,
             ally0 if use_ext else None,
@@ -227,14 +231,10 @@ def _run_loop_std(
     use_ext = not dense_support
 
     def dataloss_frame(pts, xk, xmk, w0c):
-        l = jnp.zeros((), pts.dtype)
-        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-            l = l + data_distance(
-                xk[xlo:xhi], pts[ylo:yhi], data_sigma,
-                w=None if not use_weights else w0c[ylo:yhi],
-                mask_x=xmk[xlo:xhi], skip_xx=True,
-            ) / noise2[s]
-        return l
+        return _frame_rkhs_dataloss(
+            xk, xmk, w0c if use_weights else None, noise2, data_sigma,
+            slices,
+        )(pts)
 
     def datal_matrix(y1, w0c):
         """Per-(k, s) dataloss (skip_xx convention), (K, S)."""
@@ -711,14 +711,9 @@ def _affine_frame_lossfn(ally0, noise2, data_sigma, w0c, slices, version):
 
     def frame_loss(m, t, xk, xmk):
         pts = affine_mod.apply(m, t, ally0)
-        l = jnp.zeros((), pts.dtype)
-        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-            l = l + data_distance(
-                xk[xlo:xhi], pts[ylo:yhi], data_sigma,
-                w=None if w0c is None else w0c[ylo:yhi],
-                mask_x=xmk[xlo:xhi], skip_xx=True,
-            ) / noise2[s]
-        return l
+        return _frame_rkhs_dataloss(
+            xk, xmk, w0c, noise2, data_sigma, slices
+        )(pts)
 
     def mat_of(params):
         if version == "general_affine":
@@ -780,11 +775,10 @@ def _seed_alphas_affine_std(M, t, x, xmask, ally0, noise2, data_sigma, w0c,
     return jax.vmap(one)(M, t, x, xmask)
 
 
-@partial(jax.jit, static_argnames=("use_weights", "nmax"))
-def _template_opt_affine_std(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                             nmax, tol, use_weights, alpha0):
-    """One structure's template move under frozen affine registrations
-    (module-level jit, warm threading)."""
+def _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2, use_weights):
+    """Template objective under frozen affine registrations; the variable is
+    y0s or the pytree (y0s, w0s) when ``use_weights`` (shared by the
+    optimizer and its seed program so they can never drift apart)."""
 
     def loss_of(y0v, ws):
         def per_frame(m, tt, xk, xmk):
@@ -795,11 +789,30 @@ def _template_opt_affine_std(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
         return jnp.sum(jax.vmap(per_frame)(M, t, x_s, xm_s)) / noise2
 
     if use_weights:
-        res = lbfgs_optimize(lambda p: loss_of(p[0], p[1]), (y0s, w0s),
-                             nmax=nmax, tol=tol, alpha0=alpha0)
+        return lambda p: loss_of(p[0], p[1])
+    return lambda y: loss_of(y, None)
+
+
+@partial(jax.jit, static_argnames=("use_weights",))
+def _seed_alpha_tmpl_affine(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                            use_weights):
+    lossfn = _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2,
+                                 use_weights)
+    return seed_alpha_for(lossfn, (y0s, w0s) if use_weights else y0s)
+
+
+@partial(jax.jit, static_argnames=("use_weights", "nmax"))
+def _template_opt_affine_std(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
+                             nmax, tol, use_weights, alpha0):
+    """One structure's template move under frozen affine registrations
+    (module-level jit, warm threading)."""
+    lossfn = _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2,
+                                 use_weights)
+    if use_weights:
+        res = lbfgs_optimize(lossfn, (y0s, w0s), nmax=nmax, tol=tol,
+                             alpha0=alpha0)
         return res.params[0], res.params[1], res.alpha
-    res = lbfgs_optimize(lambda y: loss_of(y, None), y0s, nmax=nmax,
-                         tol=tol, alpha0=alpha0)
+    res = lbfgs_optimize(lossfn, y0s, nmax=nmax, tol=tol, alpha0=alpha0)
     return res.params, w0s, res.alpha
 
 
@@ -861,7 +874,10 @@ class AffinePSRStd(MultiPSRStd):
             w0s = (self.w0[s] if self.template_weights
                    else jnp.zeros((0,), self.y0[s].dtype))
             if tmpl_alpha[s] is None:
-                tmpl_alpha[s] = jnp.asarray(1.0, jnp.float32)
+                tmpl_alpha[s] = _seed_alpha_tmpl_affine(
+                    self.M, self.t, x_s, xm_s, self.y0[s], w0s,
+                    self.data_sigma, noise2, self.template_weights,
+                )
             ys, ws, als = _template_opt_affine_std(
                 self.M, self.t, x_s, xm_s, self.y0[s], w0s,
                 self.data_sigma, noise2, nmax, tol, self.template_weights,

@@ -524,30 +524,16 @@ _MM_MODE = "split3"  # "split3" | "default" | "highest"
 
 
 def _mm_dot(k, pt):
-    """(TI, TJ) x (ncols, TJ)^T -> (TI, ncols) contraction on the MXU."""
-    dn = (((1,), (1,)), ((), ()))
-    if _MM_MODE == "split3":
-        # 3-pass bf16 emulation of the f32 product (hi*hi + hi*lo + lo*hi;
-        # the dropped lo*lo term is O(2^-16) relative)
-        k_hi = k.astype(jnp.bfloat16)
-        k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        p_hi = pt.astype(jnp.bfloat16)
-        p_lo = (pt - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jax.lax.dot_general(k_hi, p_hi, dn,
-                                  preferred_element_type=jnp.float32)
-        out = out + jax.lax.dot_general(k_hi, p_lo, dn,
-                                        preferred_element_type=jnp.float32)
-        return out + jax.lax.dot_general(k_lo, p_hi, dn,
-                                         preferred_element_type=jnp.float32)
-    return jax.lax.dot_general(k, pt, dn, preferred_element_type=jnp.float32,
-                               precision=_MM_MODE)
+    """(TI, TJ) x (ncols, TJ)^T -> (TI, ncols) contraction on the MXU
+    (delegates to _mm3 so every kernel shares ONE numerics policy)."""
+    return _mm3(k, pt, (((1,), (1,)), ((), ())))
 
 
 def _mm3(a, b, dn):
-    """dot_general under the _MM_MODE numerics policy (split3 = 3-pass bf16
-    emulation of the f32 product, as in ``_mm_dot``), for arbitrary
-    contraction dims — used by the symmetric kernel's two contraction
-    layouts."""
+    """dot_general under the _MM_MODE numerics policy, for arbitrary
+    contraction dims.  split3 = 3-pass bf16 emulation of the f32 product
+    (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is O(2^-16) relative).
+    The single implementation behind every payload-matmul kernel."""
     if _MM_MODE == "split3":
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -54,6 +54,20 @@ def _tree_diff_rms(a, b):
     return _rms(jax.tree.map(lambda x, y: x - y, a, b))
 
 
+def _seed_core(lossfn: Callable, p0):
+    """(l0, seed): one value_and_grad eval and the classical first-step
+    zoom seed ~ min(1, 1/||g0||).  Non-finite entry loss or gradient falls
+    back to the 1.0 sentinel.  Single implementation shared by the
+    external ``seed_alpha_for`` and the internal cold path so the two can
+    never diverge."""
+    l0, g0 = jax.value_and_grad(lossfn)(p0)
+    n = float(sum(a.size for a in jax.tree.leaves(g0)))
+    g0_norm = _rms(g0) * jnp.sqrt(jnp.asarray(n, l0.dtype))
+    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
+    ok = jnp.logical_and(jnp.isfinite(l0), jnp.isfinite(seed))
+    return l0, jnp.where(ok, seed, 1.0).astype(jnp.float32)
+
+
 def seed_alpha_for(lossfn: Callable, p0) -> jax.Array:
     """Zoom line-search seed ~ min(1, 1/||g0||) for ``lossfn`` at ``p0``
     (the classical first-step heuristic; same norm convention as the
@@ -64,13 +78,7 @@ def seed_alpha_for(lossfn: Callable, p0) -> jax.Array:
     L-BFGS program per configuration instead of separate cold/warm
     variants (at scale each variant is a multi-minute remote compile,
     while this single fwd+bwd eval compiles in seconds)."""
-    l0, g0 = jax.value_and_grad(lossfn)(p0)
-    n = float(sum(a.size for a in jax.tree.leaves(g0)))
-    g0_norm = _rms(g0) * jnp.sqrt(jnp.asarray(n, l0.dtype))
-    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12))
-    # a non-finite entry loss makes the seed meaningless; fall back to the
-    # 1.0 sentinel handled inside lbfgs_optimize
-    return jnp.where(jnp.isfinite(l0), seed, 1.0).astype(jnp.float32)
+    return _seed_core(lossfn, p0)[1]
 
 
 def lbfgs_optimize(
@@ -214,19 +222,9 @@ def lbfgs_optimize(
     # positive ``alpha0`` warm start skips the seeding eval entirely (the
     # loss+grad here costs a full fwd+bwd shoot at scale).
     def _seed(_):
-        l0, g0 = jax.value_and_grad(lossfn)(p0)
-        l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf)
-        g0_norm = _rms(g0) * jnp.sqrt(
-            jnp.asarray(
-                float(sum(a.size for a in jax.tree.leaves(g0))), l0.dtype
-            )
-        )
-        return (
-            l0.astype(jnp.float32),
-            jnp.minimum(1.0, 1.0 / jnp.maximum(g0_norm, 1e-12)).astype(
-                jnp.float32
-            ),
-        )
+        l0, a = _seed_core(lossfn, p0)
+        l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf).astype(jnp.float32)
+        return l0, a
 
     if alpha0 is not None:
         # warm path (STATIC): no seeding eval at all — the zoom recovers on
@@ -272,7 +270,21 @@ def lbfgs_optimize(
     prev = jnp.where(
         jnp.logical_and(jnp.isfinite(alpha_h), alpha_h > 0.0), alpha_h, 1.0
     )
-    ok = jnp.logical_and(jnp.isfinite(raw), raw > prev / 16.0)
-    alpha = jnp.where(ok, jnp.minimum(raw, prev * 16.0), prev)
+    # Collapsed = the zoom spent ~its whole shrink budget (raw fell below
+    # prev * 2^-(budget-1); bisection moves a factor <=2 per eval), i.e. a
+    # failed search on a converged/flat lane — keep prev, since clamping a
+    # collapse into the window would still ratchet 16x per call toward the
+    # poison.  A GENUINE smaller step (above that floor) pulls the anchor
+    # down, clipped to the window, so a bad anchor (e.g. a 1.0 sentinel
+    # over a 1e-3-scale problem) adapts out within a few calls instead of
+    # pinning forever.
+    shrink_floor = prev * (2.0 ** -(max_linesearch_steps - 1))
+    ok = jnp.logical_and(
+        jnp.isfinite(raw),
+        raw > jnp.maximum(shrink_floor, _ALPHA_DEGENERATE),
+    )
+    alpha = jnp.where(
+        ok, jnp.clip(raw, prev / 16.0, prev * 16.0), prev
+    )
     return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change,
                        alpha=alpha)

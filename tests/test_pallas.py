@@ -134,3 +134,22 @@ def test_sym_kernel_matches_full_pairs():
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(-gq_s), np.asarray(mgq_d),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_sym_kernel_3d():
+    """d=3 fills the 16-row raw table exactly (ncols = (d+1)^2 = 16) — a
+    distinct payload/epilogue index set from d=2."""
+    from difficp_tpu.ops.pallas_reductions import _rhs_self_fwd_sym_mm
+
+    m = 530
+    q3 = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32))
+    p3 = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32) * 0.3)
+    m3 = jnp.asarray((np.arange(m) < m - 17).astype(np.float32))
+    vq_s, gq_s, dc_s = _rhs_self_fwd_sym_mm(q3, p3, m3, SIG, True, t=128)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(q3, p3, SIG, 0.0, True, m3)
+    np.testing.assert_allclose(np.asarray(vq_s), np.asarray(vq_d),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(-gq_s), np.asarray(mgq_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(float(dc_s), float(dc_d), rtol=1e-3,
+                               atol=1e-3)
