@@ -492,7 +492,10 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
         gv, gg, gc = cot
         if not withlogdet:
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
-        dq, dp = _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti, tj)
+        # symmetric-pair backward: each unordered tile pair's exp tile is
+        # computed once (block-pair decomposition keeps any M under the
+        # VMEM budget — no size gate needed)
+        dq, dp = _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, ti)
         return dq, dp, None
 
     op.defvjp(fwd, bwd)
@@ -953,6 +956,248 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
 # stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
 # full-pairs kernel
 _SYM_MAX_MPAD = 140 * 1024
+
+
+def _bwd_payload_rows(q, p, m, G, H, d, idx, rows_total, t):
+    """(rows_total, t) masked payload table for the BACKWARD kernel-sum
+    A[c] = sum K c (rows ordered by ``_bwd_col_table``; q/p/m/G/H are (t,)
+    per-dim lists / vectors, G/H already m-masked).  Shared by the ordered
+    and the symmetric-pair backward kernels."""
+    Hq = H[0] * q[0]
+    pq = p[0] * q[0]
+    for e in range(1, d):
+        Hq = Hq + H[e] * q[e]
+        pq = pq + p[e] * q[e]
+    rows = [jnp.zeros((t,), jnp.float32)] * rows_total
+    rows[idx[("one",)]] = m
+    rows[idx[("pq",)]] = pq * m
+    for e in range(d):
+        rows[idx[("q", e)]] = q[e] * m
+        rows[idx[("p", e)]] = p[e] * m
+        rows[idx[("G", e)]] = G[e]
+        rows[idx[("Hqp", e)]] = Hq * p[e]
+        rows[idx[("qpq", e)]] = q[e] * pq * m
+    for e in range(d):
+        for f in range(d):
+            rows[idx[("qp", e, f)]] = q[e] * p[f] * m
+            rows[idx[("qG", e, f)]] = q[e] * G[f]
+            rows[idx[("Hp", e, f)]] = H[e] * p[f]
+            rows[idx[("qHqp", e, f)]] = q[e] * Hq * p[f]
+    for a in range(d):
+        for e in range(d):
+            for f in range(d):
+                rows[idx[("qHp", a, e, f)]] = q[a] * H[e] * p[f]
+    for a in range(d):
+        for b in range(a, d):
+            rows[idx[("qq", a, b)]] = q[a] * q[b] * m
+            for f in range(d):
+                rows[idx[("qqp", a, b, f)]] = q[a] * q[b] * p[f] * m
+    return jnp.stack(rows, axis=0)
+
+
+def _rhs_self_bwd_sym_pair_kernel(blka_ref, fullb_ref, ta_ref, tb_ref, *,
+                                  sigma, t, d, rows_total, same_block):
+    """One block pair (a, b) of the symmetric-pair BACKWARD kernel-sum.
+
+    Grid over a's i-tiles; streams b's j-tiles (j <= i with a
+    diagonal-once rule when ``same_block``, else all).  Each (t, t) exp
+    tile is evaluated ONCE and accumulates both sides of the 45/94-column
+    backward table:  Ta_i[c] += sum_j K m_j c_j,  Tb_j[c] += sum_i K m_i
+    c_i.  Ta is emitted per i-tile; Tb is a VMEM-resident (rows, Mb) block
+    accumulated across grid steps.  The dq/dp recombination (linear in the
+    table) runs OUTSIDE in ``_bwd_sym_epilogue``.
+
+    The full-table-resident trick of the forward kernel does not fit here
+    ((45+ rows) x M x 4 B busts VMEM at 131k points), hence this 2-level
+    decomposition: python-level unordered block pairs, kernel-level
+    unordered tile pairs within.
+    """
+    i = pl.program_id(0)
+    u = 1.0 / (sigma * sigma)
+    idx = _bwd_col_table(d)
+
+    @pl.when(i == 0)
+    def _init():
+        tb_ref[...] = jnp.zeros_like(tb_ref)
+
+    i0 = i * t
+    qi = [blka_ref[dd, pl.ds(i0, t)] for dd in range(d)]
+    pi = [blka_ref[d + dd, pl.ds(i0, t)] for dd in range(d)]
+    mi = blka_ref[2 * d, pl.ds(i0, t)]
+    Gi = [blka_ref[2 * d + 1 + dd, pl.ds(i0, t)] * mi for dd in range(d)]
+    Hi = [blka_ref[3 * d + 1 + dd, pl.ds(i0, t)] * mi for dd in range(d)]
+    pload_i = _bwd_payload_rows(qi, pi, mi, Gi, Hi, d, idx, rows_total, t)
+
+    n_j = fullb_ref.shape[1] // t
+
+    def body(jt, acc):
+        j0 = jt * t
+        qj = [fullb_ref[dd, pl.ds(j0, t)] for dd in range(d)]
+        pj = [fullb_ref[d + dd, pl.ds(j0, t)] for dd in range(d)]
+        mj = fullb_ref[2 * d, pl.ds(j0, t)]
+        Gj = [fullb_ref[2 * d + 1 + dd, pl.ds(j0, t)] * mj for dd in range(d)]
+        Hj = [fullb_ref[3 * d + 1 + dd, pl.ds(j0, t)] * mj for dd in range(d)]
+        d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
+        kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
+
+        pload_j = _bwd_payload_rows(qj, pj, mj, Gj, Hj, d, idx,
+                                    rows_total, t)
+        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
+        if same_block:
+            off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
+        else:
+            off = jnp.float32(1.0)
+        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())))
+        tb_ref[:, pl.ds(j0, t)] += contrib * off
+        return acc
+
+    hi = i + 1 if same_block else n_j
+    acc = jax.lax.fori_loop(
+        0, hi, body, jnp.zeros((rows_total, t), jnp.float32)
+    )
+    ta_ref[...] = acc
+
+
+def _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc, sigma, d):
+    """dq/dp recombination from the summed backward table T (rows, M) —
+    the exact row-side identities of ``_rhs_self_bwd_mm_kernel``'s
+    in-kernel epilogue, applied once per point after ALL accumulation."""
+    u = 1.0 / (sigma * sigma)
+    u2 = u * u
+    idx = _bwd_col_table(d)
+
+    def A(*key):
+        return T[idx[key]]
+
+    m = mask
+    qs = [q[:, dd] for dd in range(d)]
+    ps = [p[:, dd] for dd in range(d)]
+    Gs = [gv[:, dd] * m for dd in range(d)]
+    Hs = [gg[:, dd] * m for dd in range(d)]
+    Hq_i = sum(Hs[e] * qs[e] for e in range(d))
+    pq_i = sum(ps[e] * qs[e] for e in range(d))
+
+    dp_cols = []
+    for f in range(d):
+        dp = A("G", f)
+        dp = dp + u * (A("Hqp", f) - sum(qs[e] * A("Hp", e, f)
+                                         for e in range(d)))
+        dp = dp + u * (Hq_i * A("p", f) - sum(Hs[e] * A("qp", e, f)
+                                              for e in range(d)))
+        dp = dp - u * gc * (qs[f] * A("one") - A("q", f))
+        dp_cols.append(dp * m)
+
+    sum_G_Ap = sum(Gs[e] * A("p", e) for e in range(d))
+    sum_p_Ap = sum(ps[e] * A("p", e) for e in range(d))
+    sum_p_Aq = sum(ps[e] * A("q", e) for e in range(d))
+    dq_cols = []
+    for dd in range(d):
+        t_ = -u * (qs[dd] * sum_G_Ap
+                   - sum(Gs[e] * A("qp", dd, e) for e in range(d)))
+        s = jnp.zeros_like(t_)
+        for e in range(d):
+            for f in range(d):
+                s = s + Hs[e] * ps[f] * (
+                    qs[dd] * qs[e] * A("p", f)
+                    - qs[dd] * A("qp", e, f)
+                    - qs[e] * A("qp", dd, f)
+                    + A("qqp", *_key2(dd, e), f)
+                )
+        t_ = t_ - u2 * s
+        t_ = t_ + u2 * gc * (
+            qs[dd] * pq_i * A("one")
+            - qs[dd] * sum_p_Aq
+            - pq_i * A("q", dd)
+            + sum(ps[f] * A("qq", *_key2(dd, f)) for f in range(d))
+        )
+        t_ = t_ + u * sum(ps[f] * (A("qG", dd, f) - qs[dd] * A("G", f))
+                          for f in range(d))
+        s = jnp.zeros_like(t_)
+        for f in range(d):
+            s = s + ps[f] * (
+                A("qHqp", dd, f)
+                - qs[dd] * A("Hqp", f)
+                - sum(qs[e] * A("qHp", dd, e, f) for e in range(d))
+                + qs[dd] * sum(qs[e] * A("Hp", e, f) for e in range(d))
+            )
+        t_ = t_ + u2 * s
+        t_ = t_ - u2 * gc * (
+            A("qpq", dd)
+            - qs[dd] * A("pq")
+            - sum(qs[e] * A("qp", dd, e) for e in range(d))
+            + qs[dd] * sum(qs[e] * A("p", e) for e in range(d))
+        )
+        t_ = t_ + u * Hs[dd] * sum_p_Ap - u * gc * ps[dd] * A("one")
+        t_ = t_ - u * sum(ps[f] * A("Hp", dd, f) for f in range(d))
+        t_ = t_ + u * gc * A("p", dd)
+        dq_cols.append(t_ * m)
+
+    return (jnp.stack(dq_cols, axis=1), jnp.stack(dp_cols, axis=1))
+
+
+def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
+    """Symmetric-pair backward wrapper: python-level unordered block pairs
+    (each pallas call handles one pair under the VMEM budget), partial
+    tables summed in jnp, then one epilogue.  Same contract as
+    ``_rhs_self_bwd_mm``."""
+    m, d = q.shape
+    idx = _bwd_col_table(d)
+    rows_total = -(-len(idx) // 8) * 8  # pad sublanes to a multiple of 8
+    mb = max(t, (mb // t) * t)
+    mpad = -(-m // mb) * mb
+    rows16 = 16
+    packed = jnp.zeros((rows16, mpad), jnp.float32)
+    cols = (
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
+        + [mask] + [gv[:, dd] for dd in range(d)]
+        + [gg[:, dd] for dd in range(d)]
+    )
+    for i, c in enumerate(cols):
+        packed = packed.at[i, :m].set(c)
+    gc_arr = jnp.asarray(gc, jnp.float32)
+
+    nb = mpad // mb
+    tables = [jnp.zeros((rows_total, mb), jnp.float32) for _ in range(nb)]
+    for a in range(nb):
+        blk_a = packed[:, a * mb:(a + 1) * mb]
+        for b in range(a + 1):
+            blk_b = packed[:, b * mb:(b + 1) * mb]
+            kernel = functools.partial(
+                _rhs_self_bwd_sym_pair_kernel, sigma=float(sigma), t=t,
+                d=d, rows_total=rows_total, same_block=(a == b),
+            )
+            ta, tb = pl.pallas_call(
+                kernel,
+                grid=(mb // t,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((rows_total, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_total, mb), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=_interpret(),
+            )(blk_a, blk_b)
+            # ta: contributions from (i, j<=i[ or all j]) pairs to block a;
+            # tb: the dual-side contributions to block b — for a == b that
+            # is the strict upper triangle of the SAME block, still needed
+            tables[a] = tables[a] + ta
+            tables[b] = tables[b] + tb
+
+    T = jnp.concatenate(tables, axis=1)[:, :m]
+    return _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc_arr, sigma, d)
 
 
 def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):

@@ -153,3 +153,28 @@ def test_sym_kernel_3d():
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(float(dc_s), float(dc_d), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_sym_bwd_matches_ordered():
+    """Symmetric-pair backward (block-pair decomposition, dual table
+    accumulation, external epilogue) == ordered-pairs backward, masked,
+    2D and 3D, multiple blocks."""
+    from difficp_tpu.ops.pallas_reductions import (
+        _rhs_self_bwd_mm, _rhs_self_bwd_sym_mm,
+    )
+
+    for (m, d) in [(300, 2), (530, 3)]:
+        q = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+        p = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32) * 0.3)
+        mk = jnp.asarray((np.arange(m) < m - 17).astype(np.float32))
+        gv = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+        gg = jnp.asarray(rng.normal(size=(m, d)).astype(np.float32))
+        gc = jnp.asarray(0.7, jnp.float32)
+        dq_s, dp_s = _rhs_self_bwd_sym_mm(q, p, mk, gv, gg, gc, SIG,
+                                          t=64, mb=128)
+        dq_f, dp_f = _rhs_self_bwd_mm(q, p, mk, gv, gg, gc, SIG,
+                                      ti=64, tj=64)
+        np.testing.assert_allclose(np.asarray(dq_s), np.asarray(dq_f),
+                                   rtol=1e-3, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(dp_s), np.asarray(dp_f),
+                                   rtol=1e-3, atol=3e-4)
