@@ -494,8 +494,13 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
         # symmetric-pair backward: each unordered tile pair's exp tile is
         # computed once (block-pair decomposition keeps any M under the
-        # VMEM budget — no size gate needed)
-        dq, dp = _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, ti)
+        # VMEM budget).  Below ~32k points the dual-table + epilogue fixed
+        # cost outweighs the halved exp work (TPU v5e: 30 vs 49 Gpair/s at
+        # 16k) — use the full-pairs kernel there.
+        if q.shape[0] >= _SYM_BWD_MIN_M:
+            dq, dp = _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, ti)
+        else:
+            dq, dp = _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti, tj)
         return dq, dp, None
 
     op.defvjp(fwd, bwd)
@@ -956,6 +961,9 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
 # stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
 # full-pairs kernel
 _SYM_MAX_MPAD = 140 * 1024
+# Smallest point count where the symmetric-pair BACKWARD beats the
+# full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
+_SYM_BWD_MIN_M = 32768
 
 
 def _bwd_payload_rows(q, p, m, G, H, d, idx, rows_total, t):
