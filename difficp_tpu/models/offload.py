@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from difficp_tpu.models import gmm as gmm_mod
 from difficp_tpu.models import lddmm as lddmm_mod
-from difficp_tpu.models.psr import _reg_opt_lddmm, _seed_alphas_lddmm
+from difficp_tpu.models.psr import _reg_opt_lddmm
 from difficp_tpu.utils.io import pad_frames
 
 
@@ -146,14 +146,9 @@ class HostOffloadAtlas:
             mk = jnp.asarray(self.mask[sl])
             w = jnp.asarray(self.ptw[sl])
             s2 = jnp.full((q0.shape[0], self.N), sig2, jnp.float32)
-            if np.any(self._alpha[sl] > 0):
-                al0 = jnp.asarray(self._alpha[sl])
-            else:
-                # seed via the small program so the big L-BFGS program keeps
-                # its single warm compiled variant across all chunks
-                al0 = _seed_alphas_lddmm(
-                    self.lcfg, q0, a0, q0, y, s2, mk, mk, w, False,
-                )
+            # zero entries are the cold sentinel: lbfgs_optimize seeds
+            # them at ~1/||g0|| for free from its entry evaluation
+            al0 = jnp.asarray(self._alpha[sl])
             a0n, x1, trajl, datal, _, _, _, alpha = _reg_opt_lddmm(
                 self.lcfg, q0, a0, q0, y, s2, mk, mk, w,
                 nmax=nmax, tol=tol, use_ext=False, coverage_check=False,

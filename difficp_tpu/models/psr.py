@@ -88,24 +88,6 @@ def _frame_quad_dataloss(yk, sig2k, xmk, wk):
     return dataloss
 
 
-@partial(jax.jit, static_argnames=("lcfg", "use_ext"))
-def _seed_alphas_lddmm(lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw,
-                       use_ext):
-    """Per-frame 1/||g0|| zoom seeds for ``_reg_opt_lddmm`` (one vmapped
-    fwd+bwd shoot).  Computing seeds here keeps ``_reg_opt_lddmm`` on its
-    single warm compiled program: at scale the cold (in-program seeding)
-    variant would cost a second multi-minute remote compile."""
-
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk):
-        dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
-        return lddmm_mod.seed_alpha(
-            lcfg, dataloss, q0k, a0k,
-            x0k if use_ext else None, qmk, xmk if use_ext else None,
-        )
-
-    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw)
-
-
 @partial(
     jax.jit,
     static_argnames=("lcfg", "use_ext", "nmax", "inner", "ls_steps",
@@ -144,13 +126,13 @@ def _reg_opt_lddmm(
             max_linesearch_steps=ls_steps,
             alpha0=alk if warm else None,
         )
-        # one more shoot saving the trajectory: warped points + coverage
-        final, traj = lddmm_mod.shoot(
-            lcfg, q0k, res.p0, x0k if use_ext else None, qmk,
-            xmk if use_ext else None, save_traj=True,
-        )
-        x1k = final.x if use_ext else final.q
         if coverage_check and use_ext:
+            # one more shoot saving the trajectory: warped points + the
+            # per-time-step coverage counter need the full path
+            final, traj = lddmm_mod.shoot(
+                lcfg, q0k, res.p0, x0k, qmk, xmk, save_traj=True,
+            )
+            x1k = final.x
             # uncovered data points at any time step (PSR.py:556-566);
             # tiled min reduction via the backend dispatch — never
             # materializes the (Nx, M) matrix at scale
@@ -164,6 +146,9 @@ def _reg_opt_lddmm(
 
             uncovered = jax.vmap(unc)(traj.q, traj.x)
         else:
+            # no coverage pass: the arrival state of ``optimize``'s own
+            # final shoot already holds the warped points
+            x1k = res.final.x if use_ext else res.final.q
             uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
         return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
                 uncovered, res.alpha)
@@ -566,12 +551,10 @@ class DiffPSR(MultiPSR):
         sig2 = self._sig2_vector()
         alpha0 = getattr(self, "_reg_alpha", None)
         if alpha0 is None:
-            # 1/||g0|| seeds via one small vmapped program, so the big
-            # L-BFGS program below always compiles its single warm variant
-            alpha0 = _seed_alphas_lddmm(
-                self.lcfg, self.q0, self.a0, self.x0, self.y, sig2,
-                self.qmask, self.xmask, self.ptw, use_ext,
-            )
+            # cold sentinel: lbfgs_optimize derives the 1/||g0|| seed for
+            # free from its mandatory entry evaluation (same compiled
+            # program as the warm path)
+            alpha0 = jnp.zeros((self.q0.shape[0],), jnp.float32)
         a0, x1, trajl, datal, nsteps, change, uncovered, alpha = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
@@ -624,21 +607,11 @@ class DiffPSR(MultiPSR):
         done = 0
         # always pass a (K,) array: None vs array changes the jit signature
         # and would recompile the whole fused loop on the first warm call.
-        # When EM has already run, seed iteration 0 at ~1/||g0|| against the
-        # current targets (order-of-magnitude proxy for the post-EM loss
-        # scale — the zoom and the warm-seed trust window absorb the rest).
-        # On a FRESH PSR the seed would be exactly the 1.0 sentinel anyway
-        # (y == x0 and a0 == 0 give g0 == 0), so skip the seed program.
+        # Zero entries are the cold sentinel: lbfgs_optimize seeds them at
+        # ~1/||g0|| for free from its mandatory entry evaluation.
         alpha = getattr(self, "_reg_alpha", None)
         if alpha is None:
-            if self.FE is None:
-                alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
-            else:
-                alpha = _seed_alphas_lddmm(
-                    self.lcfg, self.q0, self.a0, self.x0, self.y,
-                    self._sig2_vector(), self.qmask, self.xmask, self.ptw,
-                    use_ext,
-                )
+            alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
         while done < n_iters:
             c = min(chunk, n_iters - done)
             gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(

@@ -35,7 +35,7 @@ from difficp_tpu.models import lddmm as lddmm_mod
 from difficp_tpu.ops import backend as red
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import pad_structures
-from difficp_tpu.utils.lbfgs import lbfgs_optimize, seed_alpha_for
+from difficp_tpu.utils.lbfgs import lbfgs_optimize
 from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
@@ -98,23 +98,6 @@ def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
     return dataloss
 
 
-@partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext"))
-def _seed_alphas_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
-                     slices, use_ext):
-    """Per-frame 1/||g0|| zoom seeds for ``_reg_opt_std`` (one vmapped
-    fwd+bwd shoot), so the L-BFGS program keeps a single warm compiled
-    variant — see psr._seed_alphas_lddmm."""
-
-    def one(a0k, xk, xmk):
-        dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
-                                        slices)
-        return lddmm_mod.seed_alpha(
-            lcfg, dataloss, q0, a0k, ally0 if use_ext else None, None, None,
-        )
-
-    return jax.vmap(one)(a0, x, xmask)
-
-
 @partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                  slices, use_ext, nmax, tol, alpha0=None):
@@ -170,17 +153,6 @@ def _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2, use_weights):
     if use_weights:
         return lambda p: loss_of(p[0], p[1])
     return lambda y: loss_of(y, None)
-
-
-@partial(jax.jit, static_argnames=("lcfg", "use_weights"))
-def _seed_alpha_tmpl(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                     use_weights):
-    """Zoom seed for ``_template_opt_std`` (one grad through the K frozen
-    shoots) — keeps the template L-BFGS on its single warm variant."""
-    lossfn = _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2,
-                          use_weights)
-    p0 = (y0s, w0s) if use_weights else y0s
-    return seed_alpha_for(lossfn, p0)
 
 
 @partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
@@ -507,13 +479,10 @@ class DiffPSRStd(MultiPSRStd):
         noise2 = tuple(v**2 for v in self.noise_std)
         alpha0 = getattr(self, "_reg_alpha", None)
         if alpha0 is None:
-            # 1/||g0|| seeds via one small vmapped program, so the big
-            # L-BFGS program below always compiles its single warm variant
-            alpha0 = _seed_alphas_std(
-                self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
-                jnp.asarray(noise2), self.data_sigma, self.w0_cat,
-                tuple(self.slices), use_ext,
-            )
+            # cold sentinel: lbfgs_optimize derives the 1/||g0|| seed for
+            # free from its mandatory entry evaluation (same compiled
+            # program as the warm path)
+            alpha0 = jnp.zeros((self.K,), jnp.float32)
         a0, y1, regl, datal, nsteps, change, alpha = _reg_opt_std(
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
@@ -541,14 +510,8 @@ class DiffPSRStd(MultiPSRStd):
             w0s = (self.w0[s] if self.template_weights
                    else jnp.zeros((0,), self.y0[s].dtype))
             if tmpl_alpha[s] is None:
-                # seed via the small program: the L-BFGS program keeps its
-                # single warm compiled variant
-                tmpl_alpha[s] = _seed_alpha_tmpl(
-                    self.lcfg, self.q0, self.a0,
-                    self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
-                    self.y0[s], w0s, self.data_sigma,
-                    self.noise_std[s] ** 2, self.template_weights,
-                )
+                # cold sentinel: lbfgs_optimize seeds at ~1/||g0|| for free
+                tmpl_alpha[s] = jnp.zeros((), jnp.float32)
             ys, ws, loss, n_steps, als = _template_opt_std(
                 self.lcfg, self.q0, self.a0,
                 self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
@@ -645,28 +608,11 @@ class DiffPSRStd(MultiPSRStd):
         if tmpl_alpha is not None and all(a is not None for a in tmpl_alpha):
             tmpl_alpha = jnp.stack([jnp.asarray(a) for a in tmpl_alpha])
         else:
-            # seed iteration 0 per structure (small programs)
-            tmpl_alpha = jnp.stack([
-                _seed_alpha_tmpl(
-                    self.lcfg, self.q0, self.a0,
-                    self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
-                    self.y0[s],
-                    (self.w0[s] if self.template_weights
-                     else jnp.zeros((0,), self.ally0.dtype)),
-                    self.data_sigma, self.noise_std[s] ** 2,
-                    self.template_weights,
-                )
-                for s, (ylo, yhi, xlo, xhi) in enumerate(self.slices)
-            ])
+            # cold sentinel: seeded at ~1/||g0|| inside lbfgs_optimize
+            tmpl_alpha = jnp.zeros((self.S,), jnp.float32)
         reg_alpha = getattr(self, "_reg_alpha", None)
         if reg_alpha is None:
-            # seed iteration 0 at ~1/||g0|| (small program) instead of the
-            # raw 1.0 sentinel; the registration dominates the loop cost
-            reg_alpha = _seed_alphas_std(
-                self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
-                noise2, self.data_sigma, self.w0_cat, tuple(self.slices),
-                not dense_support,
-            )
+            reg_alpha = jnp.zeros((self.K,), jnp.float32)
         q0, a0, y0c, w0c, y1, energies, regl, dmat, al_reg, al_tmpl = (
             _run_loop_std(
                 self.q0, self.a0, self.ally0, w0c, self.x, self.xmask,
@@ -754,27 +700,6 @@ def _reg_opt_affine_std(M, t, x, xmask, ally0, noise2, data_sigma, w0c,
     return jax.vmap(optimize_frame)(M, t, x, xmask, alpha0)
 
 
-@partial(jax.jit, static_argnames=("slices", "version"))
-def _seed_alphas_affine_std(M, t, x, xmask, ally0, noise2, data_sigma, w0c,
-                            slices, version):
-    frame_loss, mat_of = _affine_frame_lossfn(
-        ally0, noise2, data_sigma, w0c, slices, version
-    )
-
-    def one(m0, t0, xk, xmk):
-        if version == "general_affine":
-            p0 = (m0, t0)
-        elif version == "rigid":
-            p0 = (jnp.zeros_like(m0), t0)
-        else:
-            p0 = (jnp.zeros_like(m0), t0, jnp.ones(()))
-        return seed_alpha_for(
-            lambda p: frame_loss(mat_of(p), p[1], xk, xmk), p0
-        )
-
-    return jax.vmap(one)(M, t, x, xmask)
-
-
 def _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2, use_weights):
     """Template objective under frozen affine registrations; the variable is
     y0s or the pytree (y0s, w0s) when ``use_weights`` (shared by the
@@ -791,14 +716,6 @@ def _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2, use_weights):
     if use_weights:
         return lambda p: loss_of(p[0], p[1])
     return lambda y: loss_of(y, None)
-
-
-@partial(jax.jit, static_argnames=("use_weights",))
-def _seed_alpha_tmpl_affine(M, t, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                            use_weights):
-    lossfn = _tmpl_affine_lossfn(M, t, x_s, xm_s, data_sigma, noise2,
-                                 use_weights)
-    return seed_alpha_for(lossfn, (y0s, w0s) if use_weights else y0s)
 
 
 @partial(jax.jit, static_argnames=("use_weights", "nmax"))
@@ -851,7 +768,8 @@ class AffinePSRStd(MultiPSRStd):
                 self.data_sigma, self.w0_cat, tuple(self.slices), version)
         alpha0 = getattr(self, "_reg_alpha", None)
         if alpha0 is None:
-            alpha0 = _seed_alphas_affine_std(*args)
+            # cold sentinel: lbfgs_optimize seeds at ~1/||g0|| for free
+            alpha0 = jnp.zeros((self.K,), jnp.float32)
         m, t, losses, nsteps, alpha = _reg_opt_affine_std(
             *args, nmax, tol, alpha0
         )
@@ -874,10 +792,8 @@ class AffinePSRStd(MultiPSRStd):
             w0s = (self.w0[s] if self.template_weights
                    else jnp.zeros((0,), self.y0[s].dtype))
             if tmpl_alpha[s] is None:
-                tmpl_alpha[s] = _seed_alpha_tmpl_affine(
-                    self.M, self.t, x_s, xm_s, self.y0[s], w0s,
-                    self.data_sigma, noise2, self.template_weights,
-                )
+                # cold sentinel: lbfgs_optimize seeds at ~1/||g0|| for free
+                tmpl_alpha[s] = jnp.zeros((), jnp.float32)
             ys, ws, als = _template_opt_affine_std(
                 self.M, self.t, x_s, xm_s, self.y0[s], w0s,
                 self.data_sigma, noise2, nmax, tol, self.template_weights,

@@ -1,22 +1,50 @@
-"""Jittable / vmappable L-BFGS with strong-Wolfe line search.
+"""Jittable / vmappable L-BFGS with a vmap-clean strong-Wolfe line search.
 
 Reimplements the optimization contract of the reference's torch wrapper
 (reference diffICP/tools/optim.py:10-110):
 
 - L-BFGS with strong-Wolfe line search, a bounded number of outer steps each
   consisting of ``inner`` quasi-Newton iterations (torch: max_iter=20);
-- best-so-far parameter tracking across every function evaluation
-  (optim.py:34-47);
-- divergence guard: on NaN / aberrantly large loss the best-seen parameters
-  are restored and the optimizer state is reset (optim.py:60-97);
+- best-so-far parameter tracking across EVERY function evaluation, including
+  line-search trials (optim.py:34-47);
+- divergence safety: non-finite / aberrant (> errthresh) trial losses are
+  rejected inside the line search, so the iterate can never move to a
+  non-finite point (a strictly stronger guarantee than the reference's
+  restore-best-and-perturb recovery, optim.py:60-97);
 - stop when the relative parameter change over an outer step drops below
   ``tol`` (optim.py:99-105).
 
-Built on ``optax.lbfgs`` (pure JAX), so the whole optimization is a single
-compiled ``lax.while_loop`` — and, crucially, **vmappable across frames**:
-the K independent per-frame registrations of the reference's sequential
-``for k in range(K)`` loop (PSR.py:528) run in lockstep on TPU with per-lane
-convergence handled by the while_loop batching rule.
+Why hand-rolled rather than optax.lbfgs
+---------------------------------------
+
+Every production path vmaps this optimizer across frames (the K independent
+per-frame registrations of the reference's sequential ``for k in range(K)``
+loop, PSR.py:528).  Under ``vmap``, ``lax.cond`` executes BOTH branches, so
+optax's zoom line search (``cond(interval_found, zoom, search)``) plus
+``value_and_grad_from_state``'s reuse-cond pay ~2.6x redundant loss
+evaluations per L-BFGS step (measured: 18 vs 7 evals on an identical
+nmax=1/inner=6 problem).  Each evaluation here is a full forward+backward
+geodesic shoot, so this was the dominant cost of registration at scale.
+
+This implementation is built so that ONE ``value_and_grad`` runs per
+line-search iteration, with no ``lax.cond`` anywhere:
+
+- the bracketing and zoom phases of the strong-Wolfe search share a single
+  ``lax.while_loop`` body whose phase is a boolean selected via ``jnp.where``
+  (safeguarded cubic interpolation inside the zoom bracket, 2x growth while
+  bracketing);
+- the (value, gradient) pair of the ACCEPTED trial is threaded directly into
+  the next quasi-Newton iteration (coherence invariant: the carry always
+  holds the loss and gradient AT the current iterate), so no step ever
+  re-evaluates the objective;
+- the classical ``min(1, 1/||g0||)`` first-step seed falls out of the
+  mandatory entry evaluation for free, so cold and warm starts compile to
+  the SAME program (one compiled variant per configuration).
+
+The quasi-Newton direction is the standard two-loop recursion over a
+fixed-size circular (s, y) memory — pure ``jnp``, vmappable, with masked
+entries for a partially filled memory.  All data-sized dot products pin
+``precision="highest"`` (TPU MXU defaults to bf16 otherwise).
 """
 
 from __future__ import annotations
@@ -25,8 +53,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
-import optax.tree_utils as otu
+from jax.flatten_util import ravel_pytree
 
 
 class LBFGSResult(NamedTuple):
@@ -34,14 +61,22 @@ class LBFGSResult(NamedTuple):
     loss: jax.Array   # best loss value
     n_steps: jax.Array  # number of outer steps taken
     change: jax.Array   # last relative parameter change (rms)
-    alpha: jax.Array = jnp.asarray(0.0)  # last accepted line-search step
+    alpha: jax.Array = jnp.asarray(0.0)  # first accepted line-search step
     #   size; feed back as ``alpha0`` of the next call on the same problem
-    #   (warm start) to skip the zoom's bracketing phase
+    #   (warm start) to skip the first line search's bracketing phase
 
 
 # accepted steps below this are "no progress" artifacts (zoom shrunk to
 # nothing on a converged/stuck lane), never useful warm-start seeds
 _ALPHA_DEGENERATE = 1e-10
+
+_C1 = 1e-4   # Armijo (sufficient decrease) constant
+_C2 = 0.9    # strong-Wolfe curvature constant (quasi-Newton standard)
+
+
+def _dot(a, b):
+    # data-sized reduction: pin f32-highest on the TPU MXU
+    return jnp.dot(a, b, precision="highest")
 
 
 def _rms(tree):
@@ -50,16 +85,11 @@ def _rms(tree):
     return jnp.sqrt(sq / max(n, 1))
 
 
-def _tree_diff_rms(a, b):
-    return _rms(jax.tree.map(lambda x, y: x - y, a, b))
-
-
 def _seed_core(lossfn: Callable, p0):
     """(l0, seed): one value_and_grad eval and the classical first-step
     zoom seed ~ min(1, 1/||g0||).  Non-finite entry loss or gradient falls
-    back to the 1.0 sentinel.  Single implementation shared by the
-    external ``seed_alpha_for`` and the internal cold path so the two can
-    never diverge."""
+    back to the 1.0 sentinel.  Same norm convention as the free internal
+    seeding of ``lbfgs_optimize`` so the two can never diverge."""
     l0, g0 = jax.value_and_grad(lossfn)(p0)
     n = float(sum(a.size for a in jax.tree.leaves(g0)))
     g0_norm = _rms(g0) * jnp.sqrt(jnp.asarray(n, l0.dtype))
@@ -69,16 +99,152 @@ def _seed_core(lossfn: Callable, p0):
 
 
 def seed_alpha_for(lossfn: Callable, p0) -> jax.Array:
-    """Zoom line-search seed ~ min(1, 1/||g0||) for ``lossfn`` at ``p0``
-    (the classical first-step heuristic; same norm convention as the
-    internal cold-path seeding of ``lbfgs_optimize``).
+    """Zoom line-search seed ~ min(1, 1/||g0||) for ``lossfn`` at ``p0``.
 
-    Computing the seed in its own small program lets every
-    ``lbfgs_optimize`` call take the warm ``alpha0`` path — one compiled
-    L-BFGS program per configuration instead of separate cold/warm
-    variants (at scale each variant is a multi-minute remote compile,
-    while this single fwd+bwd eval compiles in seconds)."""
+    Kept for API stability: ``lbfgs_optimize`` now derives this seed for
+    free from its mandatory entry evaluation whenever ``alpha0`` is absent
+    or degenerate, so calling this externally is only useful to inspect the
+    seed itself."""
     return _seed_core(lossfn, p0)[1]
+
+
+def _cubic_min(a, fa, dga, b, fb, dgb):
+    """Minimizer of the cubic through (a, fa, dga), (b, fb, dgb)
+    (Nocedal & Wright eq. 3.59).  May return NaN/inf on degenerate input;
+    callers safeguard with bisection."""
+    d1 = dga + dgb - 3.0 * (fa - fb) / (a - b)
+    d2 = jnp.sqrt(jnp.maximum(d1 * d1 - dga * dgb, 0.0)) * jnp.sign(b - a)
+    return b - (b - a) * (dgb + d2 - d1) / (dgb - dga + 2.0 * d2)
+
+
+def _make_linesearch(vg, max_steps: int, errthresh):
+    """Strong-Wolfe line search, one ``vg`` evaluation per iteration.
+
+    Bracketing (Nocedal & Wright Alg. 3.5) and zoom (Alg. 3.6) run in one
+    ``lax.while_loop`` whose phase is a carried boolean — under vmap each
+    joint iteration costs exactly one batched evaluation, and finished
+    lanes are masked by the while_loop batching rule at no extra cost.
+
+    Invariants: (a_lo, f_lo, dg_lo, g_lo) is the best Armijo-satisfying
+    point seen (a_lo = 0 initially), so the budget-exhausted fallback
+    accepts lo — the iterate never moves to a non-finite or non-decreasing
+    point.  Trials with non-finite or aberrant (> errthresh) loss fail
+    Armijo and shrink the bracket, which is the divergence recovery.
+    """
+
+    def linesearch(x, fx, gx, d, a1, best_x, best_f):
+        dg0 = _dot(gx, d)
+        descent = jnp.logical_and(jnp.isfinite(dg0), dg0 < 0)
+        fd = fx.dtype
+        zero = jnp.zeros((), fd)
+
+        carry0 = (
+            jnp.asarray(0),
+            ~descent,                       # done (no-descent lanes skip)
+            jnp.zeros((), jnp.bool_),       # in_zoom
+            zero, fx, dg0, gx,              # lo: a, f, dg, full grad
+            zero + jnp.inf, zero + jnp.inf, zero,  # hi: a, f, dg
+            jnp.maximum(a1, 1e-30).astype(fd),     # current trial step
+            zero, fx, gx,                   # accepted: a, f, full grad
+            best_x, best_f,
+        )
+
+        def cond(c):
+            return jnp.logical_and(~c[1], c[0] < max_steps)
+
+        def body(c):
+            (k, done, in_zoom, a_lo, f_lo, dg_lo, g_lo,
+             a_hi, f_hi, dg_hi, a, acc_a, acc_f, acc_g,
+             bx, bf) = c
+            xa = x + a * d
+            fa, ga = vg(xa)
+            dga = _dot(ga, d)
+            okf = jnp.logical_and(jnp.isfinite(fa), fa <= errthresh)
+            # best-so-far at every evaluation (reference optim.py:34-47)
+            bb = jnp.logical_and(okf, fa < bf)
+            bf = jnp.where(bb, fa, bf)
+            bx = jnp.where(bb, xa, bx)
+
+            armijo = jnp.logical_and(okf, fa <= fx + _C1 * a * dg0)
+            strong = jnp.logical_and(armijo, jnp.abs(dga) <= -_C2 * dg0)
+            hi_cond = jnp.logical_or(~armijo, fa >= f_lo)
+            accept = jnp.logical_and(~hi_cond, strong)
+            # bracket: derivative turned non-negative -> interval is
+            # (a, old lo); zoom: same test in interval orientation
+            flip = jnp.logical_and(
+                jnp.logical_and(~hi_cond, ~strong),
+                jnp.where(in_zoom, dga * (a_hi - a_lo) >= 0, dga >= 0),
+            )
+            na_hi = jnp.where(hi_cond, a, jnp.where(flip, a_lo, a_hi))
+            nf_hi = jnp.where(hi_cond, fa, jnp.where(flip, f_lo, f_hi))
+            ndg_hi = jnp.where(hi_cond, dga, jnp.where(flip, dg_lo, dg_hi))
+            lo_upd = jnp.logical_and(~hi_cond, ~strong)
+            na_lo = jnp.where(lo_upd, a, a_lo)
+            nf_lo = jnp.where(lo_upd, fa, f_lo)
+            ndg_lo = jnp.where(lo_upd, dga, dg_lo)
+            ng_lo = jnp.where(lo_upd, ga, g_lo)
+            nzoom = jnp.logical_or(in_zoom, jnp.logical_or(hi_cond, flip))
+
+            # next trial: safeguarded cubic inside the zoom bracket,
+            # 2x growth while still bracketing
+            cube = _cubic_min(na_lo, nf_lo, ndg_lo, na_hi, nf_hi, ndg_hi)
+            amin = jnp.minimum(na_lo, na_hi)
+            amax = jnp.maximum(na_lo, na_hi)
+            w = amax - amin
+            safe = jnp.logical_and(
+                jnp.isfinite(cube),
+                jnp.logical_and(cube > amin + 0.1 * w,
+                                cube < amax - 0.1 * w),
+            )
+            z_next = jnp.where(safe, cube, 0.5 * (na_lo + na_hi))
+            a_next = jnp.where(nzoom, z_next, 2.0 * a)
+
+            nacc_a = jnp.where(accept, a, acc_a)
+            nacc_f = jnp.where(accept, fa, acc_f)
+            nacc_g = jnp.where(accept, ga, acc_g)
+            ndone = jnp.logical_or(done, accept)
+            return (k + 1, ndone, nzoom, na_lo, nf_lo, ndg_lo, ng_lo,
+                    na_hi, nf_hi, ndg_hi, a_next, nacc_a, nacc_f, nacc_g,
+                    bx, bf)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        (_, done, _, a_lo, f_lo, _, g_lo, _, _, _, _,
+         acc_a, acc_f, acc_g, bx, bf) = out
+        # budget exhausted: fall back to lo (Armijo-satisfying by
+        # invariant; a_lo = 0 means "no move", a safe stall)
+        acc_a = jnp.where(done, acc_a, a_lo)
+        acc_f = jnp.where(done, acc_f, f_lo)
+        acc_g = jnp.where(done, acc_g, g_lo)
+        return acc_a, acc_f, acc_g, bx, bf
+
+    return linesearch
+
+
+def _two_loop(g, S, Y, rho, pos, count, m: int):
+    """L-BFGS two-loop recursion over the circular (s, y) memory; masked
+    for a partially filled memory; newest-pair gamma scaling."""
+    idx = (pos - 1 - jnp.arange(m)) % m          # newest -> oldest
+    valid = jnp.arange(m) < count
+
+    def bwd(q, kv):
+        k, v = kv
+        al = jnp.where(v, rho[k] * _dot(S[k], q), 0.0)
+        return q - al * Y[k], al
+
+    q, als = jax.lax.scan(bwd, g, (idx, valid))
+    newest = (pos - 1) % m
+    sy = _dot(S[newest], Y[newest])
+    yy = _dot(Y[newest], Y[newest])
+    gamma = jnp.where(count > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+    r = gamma * q
+
+    def fwd(r, kva):
+        k, v, al = kva
+        beta = jnp.where(v, rho[k] * _dot(Y[k], r), 0.0)
+        return r + (al - beta) * S[k], None
+
+    r, _ = jax.lax.scan(fwd, r, (idx[::-1], valid[::-1], als[::-1]))
+    return -r
 
 
 def lbfgs_optimize(
@@ -95,196 +261,155 @@ def lbfgs_optimize(
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
     Semantics follow reference optim.py: up to ``nmax`` outer steps of
-    ``inner`` L-BFGS iterations each; returns the best parameters seen.
+    ``inner`` L-BFGS iterations each; returns the best parameters seen at
+    ANY evaluation (line-search trials included).
 
-    ``alpha0``: warm-start step size for the first zoom line search (use the
-    ``alpha`` of a previous result on the same problem).  ``None`` or a
-    non-positive value falls back to the 1/||g0|| first-step heuristic —
-    callers inside jit can pass 0.0 as a dynamic "no warm start" sentinel.
+    ``alpha0``: warm-start step size for the first line search (use the
+    ``alpha`` of a previous result on the same problem).  ``None``, a
+    non-positive or non-finite value falls back to the free internal
+    ``min(1, 1/||g0||)`` seed — cold and warm starts compile to the same
+    program, so callers inside jit can pass 0.0 as a dynamic "no warm
+    start" sentinel.
     """
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps
-        ),
-    )
-    value_and_grad = optax.value_and_grad_from_state(lossfn)
+    x0, unravel = ravel_pytree(p0)
+    m = int(memory_size)
+    n = x0.size
+
+    def f(x):
+        return lossfn(unravel(x))
+
+    vg = jax.value_and_grad(f)
+    linesearch = _make_linesearch(vg, int(max_linesearch_steps),
+                                  jnp.asarray(errthresh))
+
+    # ---- entry evaluation: iteration 1's (value, grad) AND the free
+    # 1/||g0|| line-search seed (classical first-step heuristic — the
+    # objective is a raw sum over points, reference convention, so the
+    # first gradient can be huge and a 1.0 start would burn the whole
+    # zoom budget shrinking)
+    f0, g0 = vg(x0)
+    g0c = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    gnorm = jnp.sqrt(_dot(g0c, g0c))
+    seed = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
+    seed = jnp.where(jnp.isfinite(seed), seed, 1.0).astype(jnp.float32)
+    a0v = jnp.asarray(0.0 if alpha0 is None else alpha0, jnp.float32)
+    warm_ok = jnp.logical_and(a0v > _ALPHA_DEGENERATE, jnp.isfinite(a0v))
+    alpha_h = jnp.where(warm_ok, a0v, seed)
+
+    fd = f0.dtype
+    best_x0 = x0
+    best_f0 = jnp.where(jnp.isfinite(f0), f0, jnp.asarray(jnp.inf, fd))
+
+    S0 = jnp.zeros((m, n), x0.dtype)
+    Y0 = jnp.zeros((m, n), x0.dtype)
+    rho0 = jnp.zeros((m,), fd)
 
     def make_inner_step(active):
-        # ``active`` is this lane's outer-loop condition re-evaluated inside
-        # the body.  In unbatched execution it is always True (the body only
-        # runs while the condition holds) so gating on it is a no-op.  Under
-        # vmap, lax.while_loop runs the body for EVERY lane until ALL lanes
-        # finish, only masking the carry — so a converged lane would keep
-        # line-searching its flat landscape with its real gradient and
-        # exhaust max_linesearch_steps every iteration, dragging the whole
-        # batch (the zoom's trip count is the max over lanes).  Feeding done
-        # lanes a ZERO gradient makes their zoom direction zero, which
-        # satisfies both strong-Wolfe conditions at the first trial — done
-        # lanes then cost one (batched) eval instead of the full budget, and
-        # the batch runs at the pace of the ACTIVE lanes.
+        # ``active`` is this lane's outer-loop condition re-evaluated
+        # inside the body.  Unbatched it is always True.  Under vmap,
+        # lax.while_loop runs the body for EVERY lane until ALL finish —
+        # a converged lane with its real gradient would keep line-searching
+        # a flat landscape and drag the joint line-search trip count.
+        # Zeroing its direction makes it a no-descent lane: the line
+        # search skips immediately and the lane freezes at zero cost.
         def inner_step(carry, _):
-            params, state, best_p, best_l = carry
-            value, grad = value_and_grad(params, state=state)
-            grad = jax.tree.map(
-                lambda g: jnp.where(active, g, jnp.zeros_like(g)), grad
+            (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first) = carry
+            g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
+            d = _two_loop(g_clean, S, Y, rho, pos, count, m)
+            dg = _dot(g_clean, d)
+            # non-descent quasi-Newton direction (stale/corrupt memory):
+            # fall back to steepest descent
+            d = jnp.where(dg < 0, d, -g_clean)
+            d = jnp.where(active, d, jnp.zeros_like(d))
+            # first step is steepest-descent-scaled (seed); once the
+            # memory has a pair, the gamma scaling makes 1.0 the natural
+            # trial (Nocedal & Wright p.142)
+            a1 = jnp.where(count == 0, alpha_h.astype(fd),
+                           jnp.ones((), fd))
+            acc_a, acc_f, acc_g, bx, bf = linesearch(x, fx, gx, d, a1,
+                                                     bx, bf)
+            s = acc_a * d
+            y = acc_g - gx
+            sy = _dot(s, y)
+            # curvature condition, scale-free: keep the pair only if the
+            # (s, y) cosine is meaningfully positive
+            sn = jnp.sqrt(_dot(s, s))
+            yn = jnp.sqrt(_dot(y, y))
+            good = jnp.logical_and(
+                jnp.logical_and(acc_a > _ALPHA_DEGENERATE,
+                                jnp.isfinite(sy)),
+                sy > 1e-10 * jnp.maximum(sn * yn, 1e-30),
             )
-            # track the pre-update point too: costs nothing (value is
-            # already computed) and guarantees best_l <= entry loss even on
-            # the warm path, whose best_l starts at +inf without an l0
-            # seeding eval
-            b0 = jnp.logical_and(value < best_l, jnp.isfinite(value))
-            best_p = jax.tree.map(
-                lambda c, b: jnp.where(b0, c, b), params, best_p
-            )
-            best_l = jnp.where(b0, value, best_l)
-            updates, new_state = opt.update(
-                grad, state, params, value=value, grad=grad, value_fn=lossfn
-            )
-            new_params = optax.apply_updates(params, updates)
-            # freeze done lanes exactly (a (s=0, y=0) memory pair would put
-            # 0/0 NaNs in the state and poison the lane's later zooms)
-            new_params = jax.tree.map(
-                lambda n, p: jnp.where(active, n, p), new_params, params
-            )
-            new_state = jax.tree.map(
-                lambda n, s: jnp.where(active, n, s) if n.shape == s.shape
-                else n,
-                new_state, state,
-            )
-            state = new_state
-            # value at the accepted line-search point
-            new_value = otu.tree_get(state, "value")
-            bad = jnp.logical_or(~jnp.isfinite(new_value),
-                                 new_value > errthresh)
-            better = jnp.logical_and(new_value < best_l, ~bad)
-            best_p = jax.tree.map(
-                lambda n, b: jnp.where(better, n, b), new_params, best_p
-            )
-            best_l = jnp.where(better, new_value, best_l)
-            # on divergence, fall back to best params (state keeps going;
-            # the next linesearch restarts from there)
-            new_params = jax.tree.map(
-                lambda n, b: jnp.where(bad, b, n), new_params, best_p
-            )
-            return (new_params, state, best_p, best_l), None
+            rho_new = 1.0 / jnp.maximum(sy, 1e-30)
+            S = jnp.where(good, S.at[pos].set(s), S)
+            Y = jnp.where(good, Y.at[pos].set(y), Y)
+            rho = jnp.where(good, rho.at[pos].set(rho_new), rho)
+            npos = jnp.where(good, (pos + 1) % m, pos)
+            ncount = jnp.where(good, jnp.minimum(count + 1, m), count)
+            # record the first accepted steepest-descent step: the warm
+            # seed for the NEXT call's first line search
+            a_first = jnp.where(
+                jnp.logical_and(a_first <= 0,
+                                jnp.logical_and(count == 0,
+                                                acc_a > _ALPHA_DEGENERATE)),
+                acc_a.astype(jnp.float32), a_first)
+            # coherence invariant: (fx, gx) are the loss and gradient AT x
+            x = x + s
+            return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf,
+                    a_first), None
 
         return inner_step
 
     def outer_cond(carry):
-        i, params, state, best_p, best_l, change, ref = carry
-        keep = jnp.logical_and(i < nmax, change > tol * jnp.maximum(ref, 1e-30))
+        i, change, ref = carry[0], carry[-2], carry[-1]
+        keep = jnp.logical_and(i < nmax,
+                               change > tol * jnp.maximum(ref, 1e-30))
         return jnp.logical_or(i == 0, keep)
 
-    state0 = opt.init(p0)
-
     def outer_body(carry):
-        i, params, state, best_p, best_l, change, ref, key = carry
-        active = outer_cond((i, params, state, best_p, best_l, change, ref))
-        prev = params
-        (params, state, best_p, best_l), _ = jax.lax.scan(
-            make_inner_step(active),
-            (params, state, best_p, best_l), None, length=inner,
-        )
-        # divergence recovery (reference optim.py:60-97): if the block ends
-        # on a non-finite/aberrant loss, restart from the best-seen params
-        # with a 1%-relative random perturbation and a FRESH optimizer state
-        cur = otu.tree_get(state, "value")
-        diverged = jnp.logical_or(~jnp.isfinite(cur), cur > errthresh)
-        key, sub = jax.random.split(key)
-        rmod = 0.01
+        (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
+         change, ref) = carry
+        active = outer_cond(carry)
+        prev = x
+        (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first), _ = \
+            jax.lax.scan(
+                make_inner_step(active),
+                (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first),
+                None, length=inner,
+            )
+        dx = x - prev
+        change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
+        ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
+        return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
+                change, ref)
 
-        def perturbed(b, k):
-            noise = jax.random.normal(k, b.shape, b.dtype)
-            return b + rmod * jnp.std(b) * noise
-
-        leaves, treedef = jax.tree.flatten(best_p)
-        subkeys = list(jax.random.split(sub, len(leaves)))
-        pert = jax.tree.unflatten(
-            treedef, [perturbed(b, k) for b, k in zip(leaves, subkeys)]
-        )
-        params = jax.tree.map(
-            lambda n, pt: jnp.where(diverged, pt, n), params, pert
-        )
-        state = jax.tree.map(
-            lambda s, s0: jnp.where(diverged, s0, s) if s.shape == s0.shape else s,
-            state, state0,
-        )
-        change = _tree_diff_rms(params, prev)
-        ref = _rms(prev)
-        return (i + 1, params, state, best_p, best_l, change, ref, key)
-
-    # Seed the first line search at ~1/||g0|| (classical first-step
-    # heuristic).  The objective is a raw sum over points (reference
-    # convention), so the first gradient can be huge; starting the zoom at
-    # step 1.0 would burn its whole evaluation budget shrinking.  Subsequent
-    # steps reuse the previously accepted step ('keep' strategy), and a
-    # positive ``alpha0`` warm start skips the seeding eval entirely (the
-    # loss+grad here costs a full fwd+bwd shoot at scale).
-    def _seed(_):
-        l0, a = _seed_core(lossfn, p0)
-        l0 = jnp.where(jnp.isfinite(l0), l0, jnp.inf).astype(jnp.float32)
-        return l0, a
-
-    if alpha0 is not None:
-        # warm path (STATIC): no seeding eval at all — the zoom recovers on
-        # its own from a 1.0 start in the rare cold-sentinel (0.0) case
-        # (e.g. iteration 0 of a fused loop), and best-so-far tracking
-        # starts from the first accepted iterate.  Degenerate seeds (a
-        # collapsed step from a converged lane) also fall back to 1.0: the
-        # zoom can only move a factor ~2 per eval, so growing back from
-        # ~1e-17 would burn the whole line-search budget every iteration.
-        a0v = jnp.asarray(alpha0, jnp.float32)
-        l0 = jnp.asarray(jnp.inf, jnp.float32)
-        alpha_h = jnp.where(
-            jnp.logical_and(a0v > _ALPHA_DEGENERATE, jnp.isfinite(a0v)),
-            a0v, 1.0,
-        )
-    else:
-        l0, alpha_h = _seed(None)
-    state0 = otu.tree_set(state0, learning_rate=alpha_h.astype(jnp.float32))
     carry = (
-        jnp.asarray(0),
-        p0,
-        state0,
-        p0,
-        l0,
-        jnp.asarray(jnp.inf, dtype=jnp.float32),
-        jnp.asarray(1.0, dtype=jnp.float32),
-        jax.random.PRNGKey(0),
+        jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
+        jnp.asarray(0), jnp.asarray(0),
+        best_x0, best_f0, jnp.zeros((), jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
     )
-    i, params, state, best_p, best_l, change, ref, _ = jax.lax.while_loop(
-        lambda c: outer_cond(c[:7]), outer_body, carry
-    )
-    # Warm-start value for the next call: the accepted step, confined to a
-    # 16x trust window around the seed this call STARTED from (warm value,
-    # 1/||g0|| heuristic, or the 1.0 sentinel).  Rationale: a converged or
-    # stuck lane accepts ~0-length steps, and seeding the next zoom there
-    # poisons it (the zoom only grows ~2x per eval, so recovering from
-    # 1e-9 burns the whole line-search budget every subsequent iteration —
-    # and vmapped lanes run at the slowest lane's pace).  A plain relative
-    # floor still ratchets down across chained calls; the window caps the
-    # drift at 16x per call in either direction, a <=4-eval recovery if the
-    # landscape scale genuinely moved further than that.
-    raw = jnp.asarray(otu.tree_get(state, "learning_rate"), jnp.float32)
-    prev = jnp.where(
-        jnp.logical_and(jnp.isfinite(alpha_h), alpha_h > 0.0), alpha_h, 1.0
-    )
-    # Collapsed = the zoom spent ~its whole shrink budget (raw fell below
-    # prev * 2^-(budget-1); bisection moves a factor <=2 per eval), i.e. a
-    # failed search on a converged/flat lane — keep prev, since clamping a
-    # collapse into the window would still ratchet 16x per call toward the
-    # poison.  A GENUINE smaller step (above that floor) pulls the anchor
-    # down, clipped to the window, so a bad anchor (e.g. a 1.0 sentinel
-    # over a 1e-3-scale problem) adapts out within a few calls instead of
-    # pinning forever.
-    shrink_floor = prev * (2.0 ** -(max_linesearch_steps - 1))
+    out = jax.lax.while_loop(outer_cond, outer_body, carry)
+    (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
+     change, ref) = out
+
+    # Warm-start value for the next call: the first accepted
+    # (steepest-descent-scale) step, confined to a 16x trust window around
+    # the seed this call STARTED from.  Rationale: a converged or stuck
+    # lane accepts ~0-length steps, and seeding the next line search there
+    # poisons it (the search only grows ~2x per eval, so recovering from
+    # 1e-9 burns the whole budget every subsequent iteration — and vmapped
+    # lanes run at the slowest lane's pace).  The window caps drift at 16x
+    # per call in either direction, a <=4-eval recovery if the landscape
+    # scale genuinely moved further.
+    prev_seed = jnp.where(
+        jnp.logical_and(jnp.isfinite(alpha_h), alpha_h > 0.0), alpha_h, 1.0)
+    shrink_floor = prev_seed * (2.0 ** -(max_linesearch_steps - 1))
     ok = jnp.logical_and(
-        jnp.isfinite(raw),
-        raw > jnp.maximum(shrink_floor, _ALPHA_DEGENERATE),
+        jnp.isfinite(a_first),
+        a_first > jnp.maximum(shrink_floor, _ALPHA_DEGENERATE),
     )
-    alpha = jnp.where(
-        ok, jnp.clip(raw, prev / 16.0, prev * 16.0), prev
-    )
-    return LBFGSResult(params=best_p, loss=best_l, n_steps=i, change=change,
-                       alpha=alpha)
+    alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 16.0,
+                                   prev_seed * 16.0), prev_seed)
+    return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
+                       change=change, alpha=alpha)
