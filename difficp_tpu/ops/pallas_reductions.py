@@ -63,6 +63,24 @@ def _pack(arrs, mpad):
     return rows
 
 
+def _mm_center(q, mask):
+    """Masked centroid, for shifting coordinates before a payload-matmul
+    kernel.
+
+    The MM kernels accumulate kernel-sums against tables of raw-coordinate
+    monomials (q_e, q_e q_f, ...) and assemble the delta-based outputs from
+    them by cancellation, so their relative error grows like (|q|/extent)
+    per monomial order — a cloud sitting far from the origin loses all
+    backward precision (at |q| ~ 1e3, sigma ~ 0.2 the dq error would be
+    O(1) relative).  Every fused-RHS output depends on positions only
+    through pairwise differences, so shifting q (and x) by the support
+    centroid is exact and bounds the monomial magnitude by the cloud
+    extent instead of its absolute position.
+    """
+    w = jnp.maximum(jnp.sum(mask), 1.0)
+    return jax.lax.stop_gradient(jnp.sum(q * mask[:, None], axis=0) / w)
+
+
 def _rhs_self_kernel(blk_ref, full_ref, out_ref, *, sigma, eta, withlogdet,
                      tj, d):
     """One i-tile of the fused self RHS (eta == 0 fast path; eta != 0 adds
@@ -469,11 +487,12 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
             # (16, Mpad) table VMEM-resident, so beyond ~140k points fall
             # back to the streaming-output full-pairs kernel.
             m = q.shape[0]
+            qc = q - _mm_center(q, mask)
             if -(-m // ti) * ti <= _SYM_MAX_MPAD:
-                vq, gq, dc = _rhs_self_fwd_sym_mm(q, p, mask, sigma,
+                vq, gq, dc = _rhs_self_fwd_sym_mm(qc, p, mask, sigma,
                                                   withlogdet, ti)
             else:
-                vq, gq, dc = _rhs_self_fwd_mm(q, p, mask, sigma, withlogdet,
+                vq, gq, dc = _rhs_self_fwd_mm(qc, p, mask, sigma, withlogdet,
                                               ti, tj)
         else:
             vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta,
@@ -497,10 +516,11 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
         # VMEM budget).  Below ~32k points the dual-table + epilogue fixed
         # cost outweighs the halved exp work (TPU v5e: 30 vs 49 Gpair/s at
         # 16k) — use the full-pairs kernel there.
+        qc = q - _mm_center(q, mask)
         if q.shape[0] >= _SYM_BWD_MIN_M:
-            dq, dp = _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, ti)
+            dq, dp = _rhs_self_bwd_sym_mm(qc, p, mask, gv, gg, gc, sigma, ti)
         else:
-            dq, dp = _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti, tj)
+            dq, dp = _rhs_self_bwd_mm(qc, p, mask, gv, gg, gc, sigma, ti, tj)
         return dq, dp, None
 
     op.defvjp(fwd, bwd)
@@ -1743,8 +1763,12 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
     @jax.custom_vjp
     def op(q, p, x, maskq, maskx):
         vq, mgq, _ = self_op(q, p, maskq)
-        vx, dc = _vx_fwd_pallas(x, maskx, q, p, maskq, sigma, eta, withlogdet,
-                                ti, tj)
+        # centroid shift (exact: cross terms depend only on x - q) so the
+        # payload-matmul table monomials stay extent-sized; harmless for the
+        # eta != 0 streaming kernel, which works in deltas anyway
+        c = _mm_center(q, maskq)
+        vx, dc = _vx_fwd_pallas(x - c, maskx, q - c, p, maskq, sigma, eta,
+                                withlogdet, ti, tj)
         if not withlogdet:
             dc = jnp.zeros((), q.dtype)
         return vq, mgq, dc, vx
@@ -1764,13 +1788,15 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
         gv, gg, gc, gx = cot
         if not withlogdet:
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0
+        c = _mm_center(q, maskq)
+        qc, xc = q - c, x - c
         # support-support terms (vq, mgq): self backward with gc = 0
         dq1, dp1 = _rhs_self_bwd_mm(
-            q, p, maskq, gv, gg, jnp.zeros((), q.dtype), sigma, ti, tj
+            qc, p, maskq, gv, gg, jnp.zeros((), q.dtype), sigma, ti, tj
         )
         # cross terms (vx, dc): streamed ext backward
         dq2, dp2, dx = _ext_bwd_pallas(
-            q, p, x, maskq, maskx, gx, gc, sigma, ti, tj
+            qc, p, xc, maskq, maskx, gx, gc, sigma, ti, tj
         )
         return dq1 + dq2, dp1 + dp2, dx, None, None
 

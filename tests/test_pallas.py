@@ -155,6 +155,48 @@ def test_sym_kernel_3d():
                                atol=1e-3)
 
 
+def test_pallas_far_from_origin():
+    """Payload-matmul kernels center coordinates internally: a cloud offset
+    by +1000 from the origin must match the dense fwd AND VJP at the same
+    tolerance as the centered one.  Without the centroid shift the monomial
+    tables cancel catastrophically (error ~ (|q|/extent)^2 on dq)."""
+    from difficp_tpu.ops.pallas_reductions import make_rhs_ext
+
+    off = jnp.asarray([1000.0, -750.0], jnp.float32)
+    qo, xo = Q + off, jnp.asarray(
+        rng.normal(size=(100, D)).astype(np.float32)) + off
+    mx = jnp.ones(100, jnp.float32)
+    op = make_rhs_self(SIG, 0.0, True, ti=64, tj=64)
+
+    def loss_p(fn):
+        def f(q, p):
+            vq, mgq, dc = fn(q, p, MASK)
+            return jnp.sum(vq**2) + jnp.sum(mgq * vq) + 2.0 * dc
+        return f
+
+    g_pallas = jax.grad(loss_p(op), argnums=(0, 1))(qo, P)
+    g_dense = jax.grad(
+        loss_p(lambda q, p, m: R.lddmm_rhs_self(q, p, SIG, 0.0, True, m)),
+        argnums=(0, 1),
+    )(qo, P)
+    for a, b in zip(g_pallas, g_dense):
+        # atol 2e-3: at |q| ~ 1000 the f32 ulp is ~6e-5, so the centered and
+        # raw paths see deltas quantized differently — an input effect, far
+        # from the O(1) relative error of the uncentered kernel
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=2e-3)
+
+    ext = make_rhs_ext(SIG, 0.0, True, ti=64, tj=64)
+    vq, mgq, dc, vx = ext(qo, P, xo, MASK, mx)
+    vq_d, mgq_d, dc_d, vx_d = R.lddmm_rhs_ext(qo, P, xo, SIG, 0.0, True,
+                                              MASK, mx)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d), rtol=1e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-3)
+
+
 def test_sym_bwd_matches_ordered():
     """Symmetric-pair backward (block-pair decomposition, dual table
     accumulation, external epilogue) == ordered-pairs backward, masked,
