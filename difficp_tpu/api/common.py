@@ -45,7 +45,12 @@ def default_numerical_options(numerical_options: Optional[dict]) -> dict:
     set_default(opts, "gradcomponent_LDDMM", False)
     set_default(opts, "integration_scheme_LDDMM", "Euler")
     set_default(opts, "integration_nt_LDDMM", 10)
+    # "fast" = payload-matmul backward kernels (dq floor ~8e-4, ~10x
+    # faster); "accurate" = blockwise-VJP backward (f32-exact).  Only
+    # affects the Pallas backend's gradients at scale.
+    set_default(opts, "backward_precision", "fast")
     apply_computversion(opts["computversion"])
+    backend_mod.set_bwd_precision(opts["backward_precision"])
     return opts
 
 

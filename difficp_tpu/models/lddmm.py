@@ -209,19 +209,25 @@ def optimize(
     if x0 is not None:
         x0 = jax.lax.stop_gradient(x0)
 
-    lossfn = _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask)
+    def lossfn_aux(p):
+        final, _ = shoot(cfg, q0, p, x0, qmask, xmask)
+        pts = final.x if x0 is not None else final.q
+        trajl = trajloss(cfg, q0, p, final.cost, qmask)
+        datal = dataloss(pts)
+        return trajl + datal, (final, trajl, datal)
 
+    # the arrival state / loss terms of the BEST evaluation thread out as
+    # aux, so there is no re-shoot at the returned params (the reference
+    # re-shoots once for reporting, LDDMM.py:394-396; at 131k points that
+    # final shoot was ~0.75 s of every Reg_opt step)
     res = lbfgs_optimize(
-        lossfn, p0, nmax=nmax, inner=inner, tol=tol, errthresh=errthresh,
-        max_linesearch_steps=max_linesearch_steps, alpha0=alpha0,
+        lossfn_aux, p0, nmax=nmax, inner=inner, tol=tol,
+        errthresh=errthresh, max_linesearch_steps=max_linesearch_steps,
+        alpha0=alpha0, has_aux=True,
     )
-    p_best = res.params
-    final, _ = shoot(cfg, q0, p_best, x0, qmask, xmask)
-    trajl = trajloss(cfg, q0, p_best, final.cost, qmask)
-    pts = final.x if x0 is not None else final.q
-    datal = dataloss(pts)
+    final, trajl, datal = res.aux
     return OptimizeResult(
-        p0=p_best, final=final, trajl=trajl, datal=datal,
+        p0=res.params, final=final, trajl=trajl, datal=datal,
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
     )
 

@@ -35,6 +35,16 @@ def set_backend(mode):
     _FORCE["mode"] = mode
 
 
+def set_bwd_precision(mode):
+    """Backward-pass precision policy for the Pallas custom-VJP ops:
+    "fast" (payload-matmul kernels, dq relative floor ~8e-4) or "accurate"
+    (blockwise VJP, f32-exact, ~10x slower).  Applies at trace time — set
+    before jitting.  See pallas_reductions._BWD_PRECISION."""
+    from difficp_tpu.ops.pallas_reductions import set_bwd_precision as _set
+
+    _set(mode)
+
+
 def _use_dense(m, n):
     if _FORCE["mode"] == "dense":
         return True
@@ -104,16 +114,37 @@ def lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q=None, mask_x=None):
     return _block.lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet, mask_q, mask_x)
 
 
+def _static_float(v):
+    """float(v) if v is a trace-time constant, else None (rare: a traced
+    sigma cannot key a static-sigma kernel factory — fall back)."""
+    try:
+        return float(v)
+    except Exception:
+        return None
+
+
 def v_field(x, q, p, sigma, eta, mask_q=None):
     if _use_dense(x.shape[0], q.shape[0]):
         return _dense.v_field(x, q, p, sigma, eta, mask_q)
+    sig = _static_float(sigma)
+    if _use_pallas_generic() and sig is not None:
+        from difficp_tpu.ops.pallas_ksum import make_v_field
+
+        key = ("vfield", sig, float(eta))
+        if key not in _pallas_cache:
+            _pallas_cache[key] = make_v_field(sig, float(eta))
+        mq = mask_q if mask_q is not None else _ones_like_rows(q)
+        return _pallas_cache[key](x, q, p, mq)
     return _block.v_field(x, q, p, sigma, eta, mask_q)
 
 
 def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
-    # only used standalone on small inputs; blockwise path covers it via
-    # lddmm_rhs_* in the shoot
-    return _dense.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
+    """Standalone -sum div(v) at data points (LDDMM.py:120-138); the shoot's
+    hot path gets this fused inside lddmm_rhs_* instead.  Blockwise above
+    the dense pair limit (the dense (M, Nx) tile would OOM at scale)."""
+    if _use_dense(q.shape[0], x.shape[0]):
+        return _dense.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
+    return _block.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
 
 
 def _use_pallas_generic():
@@ -167,10 +198,20 @@ def check_coverage(x, y, sigma, r_threshold, mask_x=None, mask_y=None):
 
 
 def hamiltonian(q, p, sigma, eta, mask_q=None):
+    """H(q, p) any eta (LDDMM.py:142-159) — evaluated (and differentiated)
+    in EVERY L-BFGS trajloss at scale, so it gets the payload-matmul path:
+    value AND gradient each cost one fused-RHS-grade kernel call."""
     if _use_dense(q.shape[0], q.shape[0]):
         return _dense.hamiltonian(q, p, sigma, eta, mask_q)
-    # blockwise handles any eta (incl. the gradcomponent b/c terms),
-    # O(M) memory — the dense path would OOM at 100k+ points
+    sig = _static_float(sigma)
+    if _use_pallas_generic() and sig is not None:
+        from difficp_tpu.ops.pallas_ksum import make_hamiltonian
+
+        key = ("ham", sig, float(eta))
+        if key not in _pallas_cache:
+            _pallas_cache[key] = make_hamiltonian(sig, float(eta))
+        mq = mask_q if mask_q is not None else _ones_like_rows(q)
+        return _pallas_cache[key](q, p, mq)
     return _block.hamiltonian(q, p, sigma, eta, mask_q)
 
 
@@ -178,6 +219,10 @@ def grad_kred(x, y, sigma, mask_y=None):
     """sum_j (grad K)(x_i - y_j) (kernel.py:142), size-dispatched."""
     if _use_dense(x.shape[0], y.shape[0]):
         return _dense.grad_kred(x, y, sigma, mask_y)
+    if _use_pallas_generic():
+        from difficp_tpu.ops.pallas_ksum import grad_kred_mm
+
+        return grad_kred_mm(x, y, sigma, mask_y)
     return _block.grad_kred(x, y, sigma, mask_y)
 
 
@@ -187,6 +232,10 @@ def kred(x, y, b, sigma, mask_y=None):
     rides this instead of materializing the (Nx, Ny) Gram matrix."""
     if _use_dense(x.shape[0], y.shape[0]):
         return _dense.kred(x, y, b, sigma, mask_y)
+    if _use_pallas_generic():
+        from difficp_tpu.ops.pallas_ksum import kred_mm
+
+        return kred_mm(x, y, b, sigma, mask_y)
     return _block.kred(x, y, b, sigma, mask_y)
 
 
@@ -194,4 +243,8 @@ def kred_scal(x, y, d, sigma, mask_y=None):
     """sum_j K(x_i - y_j) d_j, scalar payload (kernel.py:134)."""
     if _use_dense(x.shape[0], y.shape[0]):
         return _dense.kred_scal(x, y, d, sigma, mask_y)
+    if _use_pallas_generic():
+        from difficp_tpu.ops.pallas_ksum import kred_scal_mm
+
+        return kred_scal_mm(x, y, d, sigma, mask_y)
     return _block.kred_scal(x, y, d, sigma, mask_y)

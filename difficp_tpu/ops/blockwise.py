@@ -257,6 +257,34 @@ def grad_kred(x, y, sigma, mask_y=None, tile=1024):
     return out
 
 
+def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None, tile=1024):
+    """Blockwise -sum_i div(v)(x_i) (reference LDDMM.py:120-138), streaming
+    x-tiles against the resident support (q, p) — matches
+    ``reductions.mdivsum`` above the dense pair limit."""
+    d = q.shape[1]
+    xj, mj, _ = _stream_y(x, (), mask_x, tile)
+    sig2 = sigma**2
+    mq = mask_q if mask_q is not None else None
+
+    def body(acc, tin):
+        xjt, mjt = tin
+        diff = q[:, None, :] - xjt[None, :, :]        # (M, T, D)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k = jnp.exp(-d2 / (2.0 * sig2)) * mjt[None, :]
+        if mq is not None:
+            k = k * mq[:, None]
+        g = jnp.einsum("mt,mtd,md->", k, -diff, p, precision="highest") / sig2
+        if eta != 0.0:
+            g = g + eta * jnp.sum(k * (d2 / sig2**2 - d / sig2))
+        return acc + g, None
+
+    out, _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False), jnp.zeros((), q.dtype),
+        (xj, mj),
+    )
+    return out
+
+
 def hamiltonian_cross(qr, pr, qc, pc, sigma, eta, mask_r=None, mask_c=None,
                       tile=1024):
     """Rows-against-cols share of the blockwise Hamiltonian: summing over a

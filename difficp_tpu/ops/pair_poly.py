@@ -1,0 +1,341 @@
+"""Bilinear pair-polynomial compiler: auto-derived payload-matmul VJPs.
+
+Every pairwise Gaussian reduction in this framework has the form
+
+    L = sum_ij k_ij S_ij,   k_ij = exp(-|q_i - q_j|^2 / 2 sigma^2),
+
+where the pair density S is a POLYNOMIAL in row-side quantities (q_i, p_i,
+cotangents gv_i/gg_i, masks) and col-side quantities (q_j, p_j, ...).  Its
+gradients are again such sums:
+
+    dL/d(row var v at l) = sum_j k_lj [ dS/dv - u * delta * S ]   (q vars)
+    dL/d(col var v at l) = sum_i k_il [ ... ]  == row form of the SWAPPED
+                                                  polynomial (k symmetric)
+
+and any such polynomial evaluates as a payload-matmul kernel-sum: group
+terms by their col-side monomial -> the payload-column table, contract with
+the kernel tile on the MXU (``pallas_ksum.pairwise_ksum``), then recombine
+with the row-side monomials in plain jnp.
+
+This module implements that algebra (``BP``), the evaluation
+(``eval_polys``), and the backward-pass polynomials of the fused LDDMM RHS
+for ANY eta (the gradcomponent model, reference LDDMM.py:113-116,150-155,
+176-227) — replacing the blockwise-VJP fallback with generated MXU kernels.
+The eta == 0 hand-written backward kernels (``pallas_reductions``) remain
+the fast path for the default configs; tests cross-check the generated
+polynomials against them and against the blockwise VJP.
+
+Monomial magnitudes: coordinates must be pre-centered by the caller
+(``pallas_reductions._mm_center``) — the expansion of delta-powers into raw
+monomials cancels catastrophically for clouds far from the origin.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from difficp_tpu.ops.pallas_ksum import pairwise_ksum
+
+_EPS = 1e-30
+
+
+class BP:
+    """Bilinear-separable pair polynomial: dict {(row_mono, col_mono): c}
+    with monomials as sorted tuples of variable names."""
+
+    __slots__ = ("t",)
+
+    def __init__(self, t=None):
+        self.t = dict(t) if t else {}
+
+    @staticmethod
+    def const(c):
+        return BP({((), ()): float(c)}) if c else BP()
+
+    @staticmethod
+    def rvar(name):
+        return BP({((name,), ()): 1.0})
+
+    @staticmethod
+    def cvar(name):
+        return BP({((), (name,)): 1.0})
+
+    def _acc(self, key, c):
+        v = self.t.get(key, 0.0) + c
+        if abs(v) < _EPS:
+            self.t.pop(key, None)
+        else:
+            self.t[key] = v
+
+    def __add__(self, other):
+        if not isinstance(other, BP):
+            other = BP.const(other)
+        out = BP(self.t)
+        for k, c in other.t.items():
+            out._acc(k, c)
+        return out
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return BP({k: -c for k, c in self.t.items()})
+
+    def __sub__(self, other):
+        return self + (-other if isinstance(other, BP) else BP.const(-other))
+
+    def __rsub__(self, other):
+        return (-self) + other
+
+    def __mul__(self, other):
+        if not isinstance(other, BP):
+            return BP({k: c * float(other) for k, c in self.t.items()}
+                      if other else None)
+        out = BP()
+        for (rm1, cm1), c1 in self.t.items():
+            for (rm2, cm2), c2 in other.t.items():
+                key = (tuple(sorted(rm1 + rm2)), tuple(sorted(cm1 + cm2)))
+                out._acc(key, c1 * c2)
+        return out
+
+    __rmul__ = __mul__
+
+    def swap(self):
+        """Exchange row and col roles (valid under the symmetric kernel)."""
+        return BP({(cm, rm): c for (rm, cm), c in self.t.items()})
+
+    def diff(self, var, side):
+        """Partial derivative wrt a row-side (side=0) or col-side (side=1)
+        occurrence of ``var``."""
+        out = BP()
+        for (rm, cm), c in self.t.items():
+            mono = rm if side == 0 else cm
+            n = mono.count(var)
+            if n == 0:
+                continue
+            reduced = list(mono)
+            reduced.remove(var)
+            reduced = tuple(reduced)
+            key = (reduced, cm) if side == 0 else (rm, reduced)
+            out._acc(key, c * n)
+        return out
+
+    def col_monomials(self):
+        return {cm for (_, cm) in self.t}
+
+
+def _dot_bp(a, b):
+    out = BP()
+    for x, y in zip(a, b):
+        out = out + x * y
+    return out
+
+
+def eval_polys(polys, x, y, row_vals, col_vals, sigma, ti=256, tj=512):
+    """Evaluate {name: BP} as out[name]_i = sum_j k(x_i - y_j) P_ij.
+
+    ``row_vals`` / ``col_vals``: {var: (Nx,) / (Ny,) array}.  ONE generic
+    payload-matmul kernel call evaluates every polynomial at once (the
+    union of their col-monomial tables), then a cheap jnp row-side
+    recombination per output.  Masks must be encoded as polynomial
+    variables (no implicit mask here).
+    """
+    cms = sorted({cm for p in polys.values() for cm in p.col_monomials()})
+    idx = {cm: i for i, cm in enumerate(cms)}
+    ny = y.shape[0]
+    one_c = jnp.ones((ny,), y.dtype)
+
+    def cval(cm):
+        v = one_c
+        for name in cm:
+            v = v * col_vals[name]
+        return v
+
+    table = jnp.stack([cval(cm) for cm in cms], axis=1)
+    A = pairwise_ksum(x, y, table, sigma, None, ti, tj)  # (Nx, ncols)
+
+    nx = x.shape[0]
+    one_r = jnp.ones((nx,), x.dtype)
+    rcache = {(): one_r}
+
+    def rval(rm):
+        if rm not in rcache:
+            v = rval(rm[:-1]) * row_vals[rm[-1]]
+            rcache[rm] = v
+        return rcache[rm]
+
+    outs = {}
+    for name, p in polys.items():
+        acc = jnp.zeros((nx,), x.dtype)
+        # group by row monomial: one multiply-add per distinct row factor
+        groups = {}
+        for (rm, cm), c in p.t.items():
+            groups.setdefault(rm, []).append((c, idx[cm]))
+        for rm, terms in groups.items():
+            col_comb = sum(c * A[:, i] for c, i in terms)
+            acc = acc + rval(rm) * col_comb
+        outs[name] = acc
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Fused-RHS pair densities (any eta) and their backward polynomials
+# ---------------------------------------------------------------------------
+
+def _q(e, side):
+    return (BP.rvar if side == 0 else BP.cvar)(f"q{e}")
+
+
+def _rhs_pair_density(d, u, eta, self_pair: bool):
+    """The cotangent-weighted pair density S_ij of the fused RHS.
+
+    L = sum_i gv_i.vq_i + gg_i.(-Gq_i) + gc * dcost  ==  sum_ij k_ij S_ij
+    with (reference LDDMM.py:100-116,176-216; streaming kernels
+    ``_rhs_self_kernel`` / ``_vx_kernel``):
+
+      vq_i  = m_i sum_j k m_j (p_j + eta u delta)
+      Gq_i  = m_i sum_j k m_j (-u (p_i.p_j) delta
+                               - eta (u^2 (delta.c) delta - u c)
+                               + eta^2 u^2 (d2 u - (d+2)) delta),
+              c = p_i - p_j
+      dc    = sum_i m_i sum_j k m_j (-u (p_i.delta) + eta u (d2 u - d))
+
+    ``self_pair=False`` drops the Gq terms (the ext cross density: rows are
+    data points x, cols the support; gv then plays the gx role and dc is
+    the x-side logdet cost with +u (delta.p_j) sign, ``_vx_kernel``).
+    Row vars: q,p,g(=gv),h(=gg),m,C(=gc broadcast); col vars: q,p,m.
+    """
+    delta = [_q(e, 0) - _q(e, 1) for e in range(d)]
+    d2 = _dot_bp(delta, delta)
+    rp = [BP.rvar(f"p{e}") for e in range(d)]
+    cp = [BP.cvar(f"p{e}") for e in range(d)]
+    rg = [BP.rvar(f"g{e}") for e in range(d)]
+    rh = [BP.rvar(f"h{e}") for e in range(d)]
+    rm, cm, rC = BP.rvar("m"), BP.cvar("m"), BP.rvar("C")
+
+    if self_pair:
+        s = _dot_bp(rg, [cp[e] + (eta * u) * delta[e] for e in range(d)])
+        pp = _dot_bp(rp, cp)
+        cvec = [rp[e] - cp[e] for e in range(d)]
+        gq = [
+            (-u) * pp * delta[e]
+            - eta * ((u * u) * _dot_bp(delta, cvec) * delta[e]
+                     - u * cvec[e])
+            + (eta * eta * u * u) * (u * d2 - (d + 2)) * delta[e]
+            for e in range(d)
+        ]
+        s = s - _dot_bp(rh, gq)
+        s = s + rC * ((-u) * _dot_bp(rp, delta)
+                      + (eta * u) * (u * d2 - d))
+    else:
+        # cross terms: vx rows get (p_j + eta u delta); the x-side logdet
+        # cost is +u (delta . p_j) (reference sign at LDDMM.py:120-138 via
+        # _vx_kernel) + the same eta Laplacian term
+        s = _dot_bp(rg, [cp[e] + (eta * u) * delta[e] for e in range(d)])
+        s = s + rC * (u * _dot_bp(cp, delta) + (eta * u) * (u * d2 - d))
+    return rm * cm * s
+
+
+def _grad_polys(s, d, u, sides=("row", "col")):
+    """Backward polynomials of L = sum_ij k S: outputs dq*/dp* per side.
+
+    Row side:  dq_e = dS/drq_e - u delta_e S,  dp_e = dS/drp_e
+    Col side (relabeled through the swapped polynomial so every output is a
+    row-indexed kernel-sum):  dq_e += swap(dS/dcq_e) - u delta_e swap(S),
+    dp_e += swap(dS/dcp_e).
+    """
+    delta = [_q(e, 0) - _q(e, 1) for e in range(d)]
+    out = {}
+    for e in range(d):
+        pq = BP()
+        pp_ = BP()
+        if "row" in sides:
+            pq = pq + s.diff(f"q{e}", 0) - u * (delta[e] * s)
+            pp_ = pp_ + s.diff(f"p{e}", 0)
+        if "col" in sides:
+            sw = s.swap()
+            pq = pq + sw.diff(f"q{e}", 0) - u * (delta[e] * sw)
+            pp_ = pp_ + sw.diff(f"p{e}", 0)
+        out[f"dq{e}"] = pq
+        out[f"dp{e}"] = pp_
+    return out
+
+
+_POLY_CACHE = {}
+
+
+def _self_bwd_polys(d, sigma, eta):
+    key = ("self", d, float(sigma), float(eta))
+    if key not in _POLY_CACHE:
+        u = 1.0 / (float(sigma) ** 2)
+        s = _rhs_pair_density(d, u, float(eta), self_pair=True)
+        _POLY_CACHE[key] = _grad_polys(s, d, u)
+    return _POLY_CACHE[key]
+
+
+def rhs_self_bwd_poly(q, p, mask, gv, gg, gc, sigma, eta, ti=256, tj=512):
+    """(dq, dp) of the fused self RHS for any eta — generated payload-matmul
+    backward (the caller centers q).  Contract == the hand-written
+    ``_rhs_self_bwd_mm`` (eta == 0) extended to the gradcomponent model."""
+    m, d = q.shape
+    vals = {"m": mask, "C": jnp.broadcast_to(jnp.asarray(gc, q.dtype), (m,))}
+    for e in range(d):
+        vals[f"q{e}"] = q[:, e]
+        vals[f"p{e}"] = p[:, e]
+        vals[f"g{e}"] = gv[:, e]
+        vals[f"h{e}"] = gg[:, e]
+    outs = eval_polys(_self_bwd_polys(d, sigma, eta), q, q, vals, vals,
+                      sigma, ti, tj)
+    dq = jnp.stack([outs[f"dq{e}"] for e in range(d)], axis=1)
+    dp = jnp.stack([outs[f"dp{e}"] for e in range(d)], axis=1)
+    return dq, dp
+
+
+def _ext_bwd_polys(d, sigma, eta):
+    u = 1.0 / (float(sigma) ** 2)
+    key = ("ext", d, float(sigma), float(eta))
+    if key not in _POLY_CACHE:
+        s = _rhs_pair_density(d, u, float(eta), self_pair=False)
+        # rows = data points x (outputs dx); cols = support (q, p)
+        row = _grad_polys(s, d, u, sides=("row",))
+        dx = {f"dx{e}": row[f"dq{e}"] for e in range(d)}
+        # support-side outputs evaluate in the reverse direction: rows = q
+        sw = s.swap()
+        delta_sw = [_q(e, 0) - _q(e, 1) for e in range(d)]
+        dqp = {}
+        for e in range(d):
+            # in sw, q/p of the SUPPORT are row vars; delta of sw is
+            # q_support - x, the negative of the density's delta — the
+            # k-derivative sign folds into sw's own delta
+            dqp[f"dq{e}"] = sw.diff(f"q{e}", 0) - u * (delta_sw[e] * sw)
+            dqp[f"dp{e}"] = sw.diff(f"p{e}", 0)
+        _POLY_CACHE[key] = (dx, dqp)
+    return _POLY_CACHE[key]
+
+
+def rhs_ext_bwd_poly(q, p, x, mask_q, mask_x, gx, gc, sigma, eta,
+                     ti=256, tj=512):
+    """(dq, dp, dx) of the ext cross terms (vx + x-side logdet cost) for any
+    eta — generated payload-matmul backward (caller centers q and x by the
+    same shift).  Contract == the hand-written ``_ext_bwd_pallas``."""
+    nx, d = x.shape
+    m = q.shape[0]
+    dx_polys, dqp_polys = _ext_bwd_polys(d, sigma, eta)
+    gc_x = jnp.broadcast_to(jnp.asarray(gc, x.dtype), (nx,))
+    xvals = {"m": mask_x, "C": gc_x}
+    qvals = {"m": mask_q, "C": jnp.zeros((m,), q.dtype)}  # C is x-side
+    for e in range(d):
+        xvals[f"q{e}"] = x[:, e]
+        xvals[f"g{e}"] = gx[:, e]
+        xvals[f"p{e}"] = jnp.zeros((nx,), x.dtype)  # x rows carry no p
+        qvals[f"q{e}"] = q[:, e]
+        qvals[f"p{e}"] = p[:, e]
+        qvals[f"g{e}"] = jnp.zeros((m,), q.dtype)
+
+    outs_x = eval_polys(dx_polys, x, q, xvals, qvals, sigma, ti, tj)
+    dx = jnp.stack([outs_x[f"dx{e}"] for e in range(d)], axis=1)
+
+    # reverse direction: rows = support q, cols = data x (swapped vals)
+    outs_q = eval_polys(dqp_polys, q, x, qvals, xvals, sigma, ti, tj)
+    dq = jnp.stack([outs_q[f"dq{e}"] for e in range(d)], axis=1)
+    dp = jnp.stack([outs_q[f"dp{e}"] for e in range(d)], axis=1)
+    return dq, dp, dx

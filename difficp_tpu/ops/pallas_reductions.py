@@ -45,8 +45,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from difficp_tpu.ops import blockwise as _block
-
 _ROWS = 8  # packed sublane count (TPU f32 sublane tile)
 
 
@@ -475,25 +473,16 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
     (tile-streamed, O(M) memory — correct at scale, slower than a dedicated
     kernel)."""
 
-    def reference_impl(q, p, mask):
-        return _block.lddmm_rhs_self(q, p, sigma, eta, withlogdet, mask)
-
     @jax.custom_vjp
     def op(q, p, mask):
         if eta == 0.0:
             # payload-matmul kernels: reductions ride the MXU.  The
-            # symmetric-pair variant computes each unordered tile pair once
-            # (halves the exp work — the VPU roofline); it keeps a raw
-            # (16, Mpad) table VMEM-resident, so beyond ~140k points fall
-            # back to the streaming-output full-pairs kernel.
-            m = q.shape[0]
+            # symmetric-pair variants compute each unordered tile pair once
+            # (halves the exp work — the VPU roofline): table-resident in
+            # VMEM up to ~140k points, block-pair decomposition beyond.
             qc = q - _mm_center(q, mask)
-            if -(-m // ti) * ti <= _SYM_MAX_MPAD:
-                vq, gq, dc = _rhs_self_fwd_sym_mm(qc, p, mask, sigma,
-                                                  withlogdet, ti)
-            else:
-                vq, gq, dc = _rhs_self_fwd_mm(qc, p, mask, sigma, withlogdet,
-                                              ti, tj)
+            vq, gq, dc = _rhs_self_fwd_best(qc, p, mask, sigma, withlogdet,
+                                            ti, tj)
         else:
             vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta,
                                               withlogdet, ti, tj)
@@ -504,9 +493,28 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
 
     def bwd(res, cot):
         q, p, mask = res
-        if eta != 0.0:
-            _, vjp = jax.vjp(lambda q_, p_: reference_impl(q_, p_, mask), q, p)
+        if _BWD_PRECISION["mode"] == "accurate":
+            from difficp_tpu.ops import blockwise as _block
+
+            _, vjp = jax.vjp(
+                lambda q_, p_: _block.lddmm_rhs_self(q_, p_, sigma, eta,
+                                                     withlogdet, mask),
+                q, p,
+            )
             dq, dp = vjp(cot)
+            return dq, dp, None
+        if eta != 0.0:
+            # generated payload-matmul backward (pair_poly): the full
+            # gradcomponent pair density differentiated symbolically, every
+            # term an MXU kernel-sum — replaces the blockwise-VJP fallback
+            from difficp_tpu.ops.pair_poly import rhs_self_bwd_poly
+
+            gv, gg, gc = cot
+            if not withlogdet:
+                gc = jnp.zeros((), q.dtype)
+            qc = q - _mm_center(q, mask)
+            dq, dp = rhs_self_bwd_poly(qc, p, mask, gv, gg, gc, sigma, eta,
+                                       ti, tj)
             return dq, dp, None
         gv, gg, gc = cot
         if not withlogdet:
@@ -516,6 +524,11 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
         # VMEM budget).  Below ~32k points the dual-table + epilogue fixed
         # cost outweighs the halved exp work (TPU v5e: 30 vs 49 Gpair/s at
         # 16k) — use the full-pairs kernel there.
+        # NOTE: fwd and bwd MUST center identically — the epilogue
+        # identities assume the table monomials and the row-side
+        # recombination share one coordinate origin.  _mm_center is
+        # deterministic in (q, mask), so recomputing it here equals the
+        # fwd's shift exactly.
         qc = q - _mm_center(q, mask)
         if q.shape[0] >= _SYM_BWD_MIN_M:
             dq, dp = _rhs_self_bwd_sym_mm(qc, p, mask, gv, gg, gc, sigma, ti)
@@ -549,6 +562,20 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
 # splitting 138 Gpair/s / 8e-6.  split3 keeps the repo's f32 accuracy
 # invariant at ~2.6x the streaming bwd kernel's throughput.
 _MM_MODE = "split3"  # "split3" | "default" | "highest"
+
+# Backward-pass precision policy (the api knob of VERDICT r2 item 4).
+# "fast" = payload-matmul backward kernels: ~10x throughput, relative dq
+# floor ~8e-4 at eta == 0 (worse for the eta != 0 degree-4 monomials) from
+# f32 cancellation of the coordinate-monomial expansion — FE stays monotone
+# on chip at every benched scale.  "accurate" = blockwise-VJP backward:
+# f32-exact (~2e-7), tile-streamed, ~10x slower.  Read at TRACE time: set it
+# BEFORE jitting/tracing the program that should use it.
+_BWD_PRECISION = {"mode": "fast"}
+
+
+def set_bwd_precision(mode: str):
+    assert mode in ("fast", "accurate"), mode
+    _BWD_PRECISION["mode"] = mode
 
 
 def _mm_dot(k, pt):
@@ -952,11 +979,42 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
         interpret=_interpret(),
     )(packed)
 
-    # row-side recombination (identical formulas to _rhs_self_mm_kernel's
-    # in-kernel epilogue, applied once per point after ALL accumulation)
+    return _fwd_sym_epilogue(table[:, :m], q, p, mask, sigma, withlogdet, d)
+
+
+# symmetric fwd kernel VMEM budget: (8 + 16) rows x Mpad x 4 B resident;
+# stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
+# full-pairs kernel
+_SYM_MAX_MPAD = 140 * 1024
+# Smallest point count where the symmetric-pair BACKWARD beats the
+# full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
+_SYM_BWD_MIN_M = 32768
+
+
+def _fwd_payload_rows(q, p, m, d, idx, rows_total, t):
+    """(rows_total, t) masked payload table for the FORWARD kernel-sum
+    (rows ordered by ``_fwd_col_table``) — shared by the VMEM-resident
+    symmetric kernel and the block-pair decomposition."""
+    rows = [jnp.zeros((t,), jnp.float32)] * rows_total
+    rows[idx[("one",)]] = m
+    for e in range(d):
+        rows[idx[("q", e)]] = q[e] * m
+        rows[idx[("p", e)]] = p[e] * m
+    for e in range(d):
+        for f in range(d):
+            rows[idx[("qp", e, f)]] = q[e] * p[f] * m
+    return jnp.stack(rows, axis=0)
+
+
+def _fwd_sym_epilogue(table, q, p, mask, sigma, withlogdet, d):
+    """(vq, gq, dcost) row-side recombination from the raw forward
+    kernel-sum table (rows, M) — identical identities to
+    ``_rhs_self_mm_kernel``'s in-kernel epilogue, applied once per point
+    after ALL accumulation (the symmetric kernels keep receiving
+    contributions until the last grid step)."""
     idx = _fwd_col_table(d)
     u = 1.0 / (sigma * sigma)
-    A = {key: table[col, :m] for key, col in idx.items()}
+    A = {key: table[col] for key, col in idx.items()}
     qs = [q[:, dd] for dd in range(d)]
     ps = [p[:, dd] for dd in range(d)]
     vq = jnp.stack([A[("p", f)] for f in range(d)], axis=1) * mask[:, None]
@@ -975,15 +1033,6 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
     else:
         dc = jnp.zeros((), jnp.float32)
     return vq, gq, dc
-
-
-# symmetric fwd kernel VMEM budget: (8 + 16) rows x Mpad x 4 B resident;
-# stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
-# full-pairs kernel
-_SYM_MAX_MPAD = 140 * 1024
-# Smallest point count where the symmetric-pair BACKWARD beats the
-# full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
-_SYM_BWD_MIN_M = 32768
 
 
 def _bwd_payload_rows(q, p, m, G, H, d, idx, rows_total, t):
@@ -1023,55 +1072,57 @@ def _bwd_payload_rows(q, p, m, G, H, d, idx, rows_total, t):
     return jnp.stack(rows, axis=0)
 
 
-def _rhs_self_bwd_sym_pair_kernel(blka_ref, fullb_ref, ta_ref, tb_ref, *,
-                                  sigma, t, d, rows_total, same_block):
-    """One block pair (a, b) of the symmetric-pair BACKWARD kernel-sum.
+def _rhs_self_sym_pair_kernel(blka_ref, fullb_ref, ta_ref, tb_ref, *,
+                              sigma, t, d, rows_total, same_block, mode):
+    """One block pair (a, b) of a symmetric-pair kernel-sum (fwd or bwd).
 
     Grid over a's i-tiles; streams b's j-tiles (j <= i with a
     diagonal-once rule when ``same_block``, else all).  Each (t, t) exp
-    tile is evaluated ONCE and accumulates both sides of the 45/94-column
-    backward table:  Ta_i[c] += sum_j K m_j c_j,  Tb_j[c] += sum_i K m_i
-    c_i.  Ta is emitted per i-tile; Tb is a VMEM-resident (rows, Mb) block
-    accumulated across grid steps.  The dq/dp recombination (linear in the
-    table) runs OUTSIDE in ``_bwd_sym_epilogue``.
+    tile is evaluated ONCE and accumulates both sides of the payload
+    table:  Ta_i[c] += sum_j K m_j c_j,  Tb_j[c] += sum_i K m_i c_i.
+    Ta is emitted per i-tile; Tb is a VMEM-resident (rows, Mb) block
+    accumulated across grid steps.  The row-side recombination (linear in
+    the table) runs OUTSIDE (``_fwd_sym_epilogue`` / ``_bwd_sym_epilogue``).
 
-    The full-table-resident trick of the forward kernel does not fit here
-    ((45+ rows) x M x 4 B busts VMEM at 131k points), hence this 2-level
-    decomposition: python-level unordered block pairs, kernel-level
-    unordered tile pairs within.
+    ``mode``: "fwd" = 9/16-column forward table of ``_fwd_col_table``
+    (lifts the VMEM-resident forward kernel's ~140k ceiling — any M);
+    "bwd" = 45/94-column backward table of ``_bwd_col_table`` (the
+    full-table-resident trick never fit the backward: (45+ rows) x M x 4 B
+    busts VMEM at 131k points).  2-level decomposition either way:
+    python-level unordered block pairs, kernel-level unordered tile pairs.
     """
     i = pl.program_id(0)
     u = 1.0 / (sigma * sigma)
-    idx = _bwd_col_table(d)
+    bwd = mode == "bwd"
+    idx = _bwd_col_table(d) if bwd else _fwd_col_table(d)
 
     @pl.when(i == 0)
     def _init():
         tb_ref[...] = jnp.zeros_like(tb_ref)
 
+    def read_side(ref, start):
+        q = [ref[dd, pl.ds(start, t)] for dd in range(d)]
+        p = [ref[d + dd, pl.ds(start, t)] for dd in range(d)]
+        m = ref[2 * d, pl.ds(start, t)]
+        if not bwd:
+            return _fwd_payload_rows(q, p, m, d, idx, rows_total, t), q
+        G = [ref[2 * d + 1 + dd, pl.ds(start, t)] * m for dd in range(d)]
+        H = [ref[3 * d + 1 + dd, pl.ds(start, t)] * m for dd in range(d)]
+        return _bwd_payload_rows(q, p, m, G, H, d, idx, rows_total, t), q
+
     i0 = i * t
-    qi = [blka_ref[dd, pl.ds(i0, t)] for dd in range(d)]
-    pi = [blka_ref[d + dd, pl.ds(i0, t)] for dd in range(d)]
-    mi = blka_ref[2 * d, pl.ds(i0, t)]
-    Gi = [blka_ref[2 * d + 1 + dd, pl.ds(i0, t)] * mi for dd in range(d)]
-    Hi = [blka_ref[3 * d + 1 + dd, pl.ds(i0, t)] * mi for dd in range(d)]
-    pload_i = _bwd_payload_rows(qi, pi, mi, Gi, Hi, d, idx, rows_total, t)
+    pload_i, qi = read_side(blka_ref, i0)
 
     n_j = fullb_ref.shape[1] // t
 
     def body(jt, acc):
         j0 = jt * t
-        qj = [fullb_ref[dd, pl.ds(j0, t)] for dd in range(d)]
-        pj = [fullb_ref[d + dd, pl.ds(j0, t)] for dd in range(d)]
-        mj = fullb_ref[2 * d, pl.ds(j0, t)]
-        Gj = [fullb_ref[2 * d + 1 + dd, pl.ds(j0, t)] * mj for dd in range(d)]
-        Hj = [fullb_ref[3 * d + 1 + dd, pl.ds(j0, t)] * mj for dd in range(d)]
+        pload_j, qj = read_side(fullb_ref, j0)
         d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
         for dd in range(1, d):
             d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
         kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
 
-        pload_j = _bwd_payload_rows(qj, pj, mj, Gj, Hj, d, idx,
-                                    rows_total, t)
         acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
         if same_block:
             off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
@@ -1086,6 +1137,78 @@ def _rhs_self_bwd_sym_pair_kernel(blka_ref, fullb_ref, ta_ref, tb_ref, *,
         0, hi, body, jnp.zeros((rows_total, t), jnp.float32)
     )
     ta_ref[...] = acc
+
+
+def _sym_block_tables(packed, mpad, mb, t, sigma, d, rows_total, mode):
+    """Python-level unordered block pairs: run the pair kernel on every
+    (a, b <= a) block pair and sum each block's partial tables.  Returns
+    the full (rows_total, mpad) kernel-sum table."""
+    nb = mpad // mb
+    tables = [jnp.zeros((rows_total, mb), jnp.float32) for _ in range(nb)]
+    for a in range(nb):
+        blk_a = packed[:, a * mb:(a + 1) * mb]
+        for b in range(a + 1):
+            blk_b = packed[:, b * mb:(b + 1) * mb]
+            kernel = functools.partial(
+                _rhs_self_sym_pair_kernel, sigma=float(sigma), t=t,
+                d=d, rows_total=rows_total, same_block=(a == b), mode=mode,
+            )
+            ta, tb = pl.pallas_call(
+                kernel,
+                grid=(mb // t,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((rows_total, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_total, mb), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=_interpret(),
+            )(blk_a, blk_b)
+            # ta: contributions from (i, j<=i[ or all j]) pairs to block a;
+            # tb: the dual-side contributions to block b — for a == b that
+            # is the strict upper triangle of the SAME block, still needed
+            tables[a] = tables[a] + ta
+            tables[b] = tables[b] + tb
+    return jnp.concatenate(tables, axis=1)
+
+
+def _rhs_self_fwd_sym_blocks(q, p, mask, sigma, withlogdet, t=256,
+                             mb=65536):
+    """Symmetric-pair FORWARD via block-pair decomposition — same contract
+    as ``_rhs_self_fwd_sym_mm`` but VMEM-bounded at any M (lifts the
+    ~140k-point ceiling of the table-resident kernel)."""
+    m, d = q.shape
+    rows_total = 16
+    mb = max(t, (mb // t) * t)
+    mpad = -(-m // mb) * mb
+    packed = _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
+        + [mask],
+        mpad,
+    )
+    T = _sym_block_tables(packed, mpad, mb, t, sigma, d, rows_total, "fwd")
+    return _fwd_sym_epilogue(T[:, :m], q, p, mask, sigma, withlogdet, d)
+
+
+def _rhs_self_fwd_best(qc, p, mask, sigma, withlogdet, ti=256, tj=512):
+    """Best available eta == 0 forward for pre-centered coordinates:
+    table-resident symmetric kernel while it fits VMEM, block-pair
+    symmetric decomposition beyond."""
+    m = qc.shape[0]
+    if -(-m // ti) * ti <= _SYM_MAX_MPAD:
+        return _rhs_self_fwd_sym_mm(qc, p, mask, sigma, withlogdet, ti)
+    return _rhs_self_fwd_sym_blocks(qc, p, mask, sigma, withlogdet, ti)
 
 
 def _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc, sigma, d):
@@ -1186,45 +1309,8 @@ def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
         packed = packed.at[i, :m].set(c)
     gc_arr = jnp.asarray(gc, jnp.float32)
 
-    nb = mpad // mb
-    tables = [jnp.zeros((rows_total, mb), jnp.float32) for _ in range(nb)]
-    for a in range(nb):
-        blk_a = packed[:, a * mb:(a + 1) * mb]
-        for b in range(a + 1):
-            blk_b = packed[:, b * mb:(b + 1) * mb]
-            kernel = functools.partial(
-                _rhs_self_bwd_sym_pair_kernel, sigma=float(sigma), t=t,
-                d=d, rows_total=rows_total, same_block=(a == b),
-            )
-            ta, tb = pl.pallas_call(
-                kernel,
-                grid=(mb // t,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((rows_total, t), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((rows_total, mb), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
-                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
-                ],
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary",),
-                ),
-                interpret=_interpret(),
-            )(blk_a, blk_b)
-            # ta: contributions from (i, j<=i[ or all j]) pairs to block a;
-            # tb: the dual-side contributions to block b — for a == b that
-            # is the strict upper triangle of the SAME block, still needed
-            tables[a] = tables[a] + ta
-            tables[b] = tables[b] + tb
-
-    T = jnp.concatenate(tables, axis=1)[:, :m]
+    T = _sym_block_tables(packed, mpad, mb, t, sigma, d, rows_total,
+                          "bwd")[:, :m]
     return _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc_arr, sigma, d)
 
 
@@ -1754,37 +1840,60 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
     streaming ``_vx_kernel`` (eta != 0).  Backward: payload-matmul Pallas
     kernels for eta == 0, blockwise VJP for eta != 0.
     """
-    self_op = make_rhs_self(sigma, eta, False, ti, tj)
-
-    def reference_impl(q, p, x, maskq, maskx):
-        return _block.lddmm_rhs_ext(q, p, x, sigma, eta, withlogdet,
-                                    maskq, maskx)
-
     @jax.custom_vjp
     def op(q, p, x, maskq, maskx):
-        vq, mgq, _ = self_op(q, p, maskq)
-        # centroid shift (exact: cross terms depend only on x - q) so the
-        # payload-matmul table monomials stay extent-sized; harmless for the
-        # eta != 0 streaming kernel, which works in deltas anyway
+        # ONE centroid shift shared by the self and cross kernels (exact:
+        # both depend on positions only through differences) so the
+        # payload-matmul table monomials stay extent-sized; harmless for
+        # the eta != 0 streaming kernels, which work in deltas anyway
         c = _mm_center(q, maskq)
-        vx, dc = _vx_fwd_pallas(x - c, maskx, q - c, p, maskq, sigma, eta,
+        qc = q - c
+        if eta == 0.0:
+            vq, gq, _ = _rhs_self_fwd_best(qc, p, maskq, sigma, False,
+                                           ti, tj)
+        else:
+            vq, gq, _ = _rhs_self_fwd_pallas(q, p, maskq, sigma, eta,
+                                             False, ti, tj)
+        vx, dc = _vx_fwd_pallas(x - c, maskx, qc, p, maskq, sigma, eta,
                                 withlogdet, ti, tj)
         if not withlogdet:
             dc = jnp.zeros((), q.dtype)
-        return vq, mgq, dc, vx
+        return vq, -gq, dc, vx
 
     def fwd(q, p, x, maskq, maskx):
         return op(q, p, x, maskq, maskx), (q, p, x, maskq, maskx)
 
     def bwd(res, cot):
         q, p, x, maskq, maskx = res
-        if eta != 0.0:
+        if _BWD_PRECISION["mode"] == "accurate":
+            from difficp_tpu.ops import blockwise as _block
+
             _, vjp = jax.vjp(
-                lambda q_, p_, x_: reference_impl(q_, p_, x_, maskq, maskx),
+                lambda q_, p_, x_: _block.lddmm_rhs_ext(
+                    q_, p_, x_, sigma, eta, withlogdet, maskq, maskx),
                 q, p, x,
             )
             dq, dp, dx = vjp(cot)
             return dq, dp, dx, None, None
+        if eta != 0.0:
+            from difficp_tpu.ops.pair_poly import (
+                rhs_ext_bwd_poly, rhs_self_bwd_poly,
+            )
+
+            gv, gg, gc, gx = cot
+            if not withlogdet:
+                gc = jnp.zeros((), q.dtype)
+            c = _mm_center(q, maskq)
+            qc, xc = q - c, x - c
+            # self terms carry no logdet cost here (dc lives at x): gc = 0
+            dq1, dp1 = rhs_self_bwd_poly(
+                qc, p, maskq, gv, gg, jnp.zeros((), q.dtype), sigma, eta,
+                ti, tj,
+            )
+            dq2, dp2, dx = rhs_ext_bwd_poly(
+                qc, p, xc, maskq, maskx, gx, gc, sigma, eta, ti, tj,
+            )
+            return dq1 + dq2, dp1 + dp2, dx, None, None
         gv, gg, gc, gx = cot
         if not withlogdet:
             gc = jnp.zeros((), q.dtype)  # dcost output is the constant 0

@@ -64,6 +64,9 @@ class LBFGSResult(NamedTuple):
     alpha: jax.Array = jnp.asarray(0.0)  # first accepted line-search step
     #   size; feed back as ``alpha0`` of the next call on the same problem
     #   (warm start) to skip the first line search's bracketing phase
+    aux: any = None   # with ``has_aux``: the auxiliary output of lossfn AT
+    #   the best evaluation (e.g. the arrival ShootState — saves callers the
+    #   re-shoot at the returned params, reference optim.py re-evaluates)
 
 
 # accepted steps below this are "no progress" artifacts (zoom shrunk to
@@ -132,7 +135,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
     Armijo and shrink the bracket, which is the divergence recovery.
     """
 
-    def linesearch(x, fx, gx, d, a1, best_x, best_f):
+    def linesearch(x, fx, gx, d, a1, best_x, best_f, best_aux):
         dg0 = _dot(gx, d)
         descent = jnp.logical_and(jnp.isfinite(dg0), dg0 < 0)
         fd = fx.dtype
@@ -146,7 +149,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             zero + jnp.inf, zero + jnp.inf, zero,  # hi: a, f, dg
             jnp.maximum(a1, 1e-30).astype(fd),     # current trial step
             zero, fx, gx,                   # accepted: a, f, full grad
-            best_x, best_f,
+            best_x, best_f, best_aux,
         )
 
         def cond(c):
@@ -155,15 +158,17 @@ def _make_linesearch(vg, max_steps: int, errthresh):
         def body(c):
             (k, done, in_zoom, a_lo, f_lo, dg_lo, g_lo,
              a_hi, f_hi, dg_hi, a, acc_a, acc_f, acc_g,
-             bx, bf) = c
+             bx, bf, baux) = c
             xa = x + a * d
-            fa, ga = vg(xa)
+            (fa, aux), ga = vg(xa)
             dga = _dot(ga, d)
             okf = jnp.logical_and(jnp.isfinite(fa), fa <= errthresh)
             # best-so-far at every evaluation (reference optim.py:34-47)
             bb = jnp.logical_and(okf, fa < bf)
             bf = jnp.where(bb, fa, bf)
             bx = jnp.where(bb, xa, bx)
+            baux = jax.tree.map(lambda n_, o_: jnp.where(bb, n_, o_),
+                                aux, baux)
 
             armijo = jnp.logical_and(okf, fa <= fx + _C1 * a * dg0)
             strong = jnp.logical_and(armijo, jnp.abs(dga) <= -_C2 * dg0)
@@ -205,17 +210,17 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             ndone = jnp.logical_or(done, accept)
             return (k + 1, ndone, nzoom, na_lo, nf_lo, ndg_lo, ng_lo,
                     na_hi, nf_hi, ndg_hi, a_next, nacc_a, nacc_f, nacc_g,
-                    bx, bf)
+                    bx, bf, baux)
 
         out = jax.lax.while_loop(cond, body, carry0)
         (_, done, _, a_lo, f_lo, _, g_lo, _, _, _, _,
-         acc_a, acc_f, acc_g, bx, bf) = out
+         acc_a, acc_f, acc_g, bx, bf, baux) = out
         # budget exhausted: fall back to lo (Armijo-satisfying by
         # invariant; a_lo = 0 means "no move", a safe stall)
         acc_a = jnp.where(done, acc_a, a_lo)
         acc_f = jnp.where(done, acc_f, f_lo)
         acc_g = jnp.where(done, acc_g, g_lo)
-        return acc_a, acc_f, acc_g, bx, bf
+        return acc_a, acc_f, acc_g, bx, bf, baux
 
     return linesearch
 
@@ -257,6 +262,7 @@ def lbfgs_optimize(
     memory_size: int = 20,
     max_linesearch_steps: int = 25,
     alpha0=None,
+    has_aux: bool = False,
 ) -> LBFGSResult:
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
@@ -270,15 +276,20 @@ def lbfgs_optimize(
     ``min(1, 1/||g0||)`` seed — cold and warm starts compile to the same
     program, so callers inside jit can pass 0.0 as a dynamic "no warm
     start" sentinel.
+
+    ``has_aux``: ``lossfn`` returns ``(loss, aux)``; the aux of the BEST
+    evaluation is returned in ``LBFGSResult.aux`` (lets the LDDMM caller
+    reuse the accepted trial's arrival ShootState instead of re-shooting).
     """
     x0, unravel = ravel_pytree(p0)
     m = int(memory_size)
     n = x0.size
 
     def f(x):
-        return lossfn(unravel(x))
+        out = lossfn(unravel(x))
+        return out if has_aux else (out, ())
 
-    vg = jax.value_and_grad(f)
+    vg = jax.value_and_grad(f, has_aux=True)
     linesearch = _make_linesearch(vg, int(max_linesearch_steps),
                                   jnp.asarray(errthresh))
 
@@ -287,7 +298,7 @@ def lbfgs_optimize(
     # objective is a raw sum over points, reference convention, so the
     # first gradient can be huge and a 1.0 start would burn the whole
     # zoom budget shrinking)
-    f0, g0 = vg(x0)
+    (f0, baux0), g0 = vg(x0)
     g0c = jnp.where(jnp.isfinite(g0), g0, 0.0)
     gnorm = jnp.sqrt(_dot(g0c, g0c))
     seed = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
@@ -313,7 +324,8 @@ def lbfgs_optimize(
         # Zeroing its direction makes it a no-descent lane: the line
         # search skips immediately and the lane freezes at zero cost.
         def inner_step(carry, _):
-            (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first) = carry
+            (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux,
+             a_first) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
             dg = _dot(g_clean, d)
@@ -326,8 +338,8 @@ def lbfgs_optimize(
             # trial (Nocedal & Wright p.142)
             a1 = jnp.where(count == 0, alpha_h.astype(fd),
                            jnp.ones((), fd))
-            acc_a, acc_f, acc_g, bx, bf = linesearch(x, fx, gx, d, a1,
-                                                     bx, bf)
+            acc_a, acc_f, acc_g, bx, bf, baux = linesearch(
+                x, fx, gx, d, a1, bx, bf, baux)
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
@@ -356,7 +368,7 @@ def lbfgs_optimize(
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
             return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf,
-                    a_first), None
+                    baux, a_first), None
 
         return inner_step
 
@@ -367,30 +379,30 @@ def lbfgs_optimize(
         return jnp.logical_or(i == 0, keep)
 
     def outer_body(carry):
-        (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
+        (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
          change, ref) = carry
         active = outer_cond(carry)
         prev = x
-        (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first), _ = \
+        (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first), _ = \
             jax.lax.scan(
                 make_inner_step(active),
-                (x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first),
+                (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first),
                 None, length=inner,
             )
         dx = x - prev
         change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
         ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
-        return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
-                change, ref)
+        return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux,
+                a_first, change, ref)
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
         jnp.asarray(0), jnp.asarray(0),
-        best_x0, best_f0, jnp.zeros((), jnp.float32),
+        best_x0, best_f0, baux0, jnp.zeros((), jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
-    (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, a_first,
+    (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
      change, ref) = out
 
     # Warm-start value for the next call: the first accepted
@@ -412,4 +424,5 @@ def lbfgs_optimize(
     alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 16.0,
                                    prev_seed * 16.0), prev_seed)
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
-                       change=change, alpha=alpha)
+                       change=change, alpha=alpha,
+                       aux=baux if has_aux else None)

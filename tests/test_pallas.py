@@ -220,3 +220,19 @@ def test_sym_bwd_matches_ordered():
                                    rtol=1e-3, atol=3e-4)
         np.testing.assert_allclose(np.asarray(dp_s), np.asarray(dp_f),
                                    rtol=1e-3, atol=3e-4)
+
+
+def test_sym_fwd_block_pairs_matches_dense():
+    """Block-pair decomposition of the symmetric forward (the >140k-point
+    path) == dense, exercised with tiny blocks so multiple block pairs and
+    the dual-side accumulation all run."""
+    from difficp_tpu.ops.pallas_reductions import _rhs_self_fwd_sym_blocks
+
+    vq, gq, dc = _rhs_self_fwd_sym_blocks(Q, P, MASK, SIG, True, t=64,
+                                          mb=128)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, 0.0, True, MASK)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d), rtol=1e-4,
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(-gq), np.asarray(mgq_d),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=1e-4)
