@@ -263,6 +263,100 @@ def bench_phases(m=131072, c=64, nt=10, ls_steps=12):
     return out
 
 
+def bench_kernels3():
+    """Round-3 kernels: standalone hamiltonian / kred (data_distance) /
+    grad_kred at payload-matmul speed, the generated any-eta backward, and
+    the block-pair symmetric forward above the old 140k ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    from difficp_tpu.ops.pallas_ksum import kred_scal_mm, make_hamiltonian
+    from difficp_tpu.ops.pallas_reductions import (
+        _mm_center, _rhs_self_fwd_sym_blocks, make_rhs_self,
+    )
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def timed(fn, *args, n_calls=8, pairs=None, tag=""):
+        o = fn(*args)
+        sync_read(o[0] if isinstance(o, tuple) else o)
+        t0 = time.time()
+        for _ in range(n_calls):
+            o = fn(*args)
+        sync_read(o[0] if isinstance(o, tuple) else o)
+        dt = (time.time() - t0) / n_calls
+        g = pairs / dt / 1e9
+        print(f"{tag}: {dt*1e3:.2f} ms -> {g:.0f} Gpair/s", flush=True)
+        return round(dt * 1e3, 3), round(g, 1)
+
+    m = 131072
+    q = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32) * 0.3
+    mask = jnp.ones((m,), jnp.float32)
+
+    # hamiltonian: value and value+grad (the trajloss hot path)
+    ham = make_hamiltonian(0.2, 0.0)
+    out["ham_fwd_ms"], out["ham_fwd_gpairs"] = timed(
+        jax.jit(ham), q, p, mask, pairs=m * m, tag=f"hamiltonian M={m} fwd")
+    hvg = jax.jit(jax.value_and_grad(lambda qq, pp: ham(qq, pp, mask),
+                                     argnums=(0, 1)))
+    out["ham_vg_ms"], out["ham_vg_gpairs"] = timed(
+        hvg, q, p, pairs=m * m, tag=f"hamiltonian M={m} val+grad")
+
+    # kred_scal (the standard algorithm's data_distance core), 131k x 131k
+    dv = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+    ks = jax.jit(lambda x, y, d: kred_scal_mm(x, y, d, 0.2, mask))
+    out["kred_fwd_ms"], out["kred_fwd_gpairs"] = timed(
+        ks, q, q, dv, pairs=m * m, tag=f"kred_scal M={m} fwd")
+    ksg = jax.jit(jax.grad(
+        lambda y, d: jnp.sum(kred_scal_mm(q, y, d, 0.2, mask) * dv),
+        argnums=(0, 1)))
+    out["kred_bwd_ms"], out["kred_bwd_gpairs"] = timed(
+        ksg, q, dv, pairs=m * m, tag=f"kred_scal M={m} bwd(dy,dd)")
+
+    # eta != 0 (gradcomponent) fused RHS: fwd streaming + generated bwd
+    eta_op = make_rhs_self(0.2, 1.0 / 500.0, True)
+    out["eta_fwd_ms"], out["eta_fwd_gpairs"] = timed(
+        jax.jit(eta_op), q, p, mask, pairs=m * m,
+        tag=f"eta!=0 RHS M={m} fwd")
+
+    def eloss(qq, pp):
+        vq, mgq, dc = eta_op(qq, pp, mask)
+        return jnp.sum(vq) + jnp.sum(mgq) + dc
+
+    ebwd = jax.jit(jax.grad(eloss, argnums=(0, 1)))
+    out["eta_bwd_ms"], out["eta_bwd_gpairs"] = timed(
+        ebwd, q, p, pairs=m * m, n_calls=4,
+        tag=f"eta!=0 RHS M={m} bwd (generated)")
+
+    # symmetric-pair forward above the old ceiling: M = 262144
+    m2 = 262144
+    q2 = jnp.asarray(rng.normal(size=(m2, 2)), jnp.float32)
+    p2 = jnp.asarray(rng.normal(size=(m2, 2)), jnp.float32) * 0.3
+    mask2 = jnp.ones((m2,), jnp.float32)
+
+    def sym_blocks(qq, pp):
+        qc = qq - _mm_center(qq, mask2)
+        return _rhs_self_fwd_sym_blocks(qc, pp, mask2, 0.2, True)
+
+    out["sym262k_fwd_ms"], out["sym262k_fwd_gpairs"] = timed(
+        jax.jit(sym_blocks), q2, p2, pairs=m2 * m2, n_calls=4,
+        tag=f"sym block-pair fwd M={m2}")
+    # and the full custom-vjp op end-to-end at 262k (fwd+bwd)
+    op2 = make_rhs_self(0.2, 0.0, True)
+
+    def loss2(qq, pp):
+        vq, mgq, dc = op2(qq, pp, mask2)
+        return jnp.sum(vq) + jnp.sum(mgq) + dc
+
+    bwd2 = jax.jit(jax.grad(loss2, argnums=(0, 1)))
+    out["rhs262k_bwd_ms"], out["rhs262k_bwd_gpairs"] = timed(
+        bwd2, q2, p2, pairs=m2 * m2, n_calls=4,
+        tag=f"RHS M={m2} bwd (sym block-pair)")
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
@@ -282,4 +376,6 @@ if __name__ == "__main__":
     if which == "phases":
         m = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
         res["phases"] = bench_phases(m)
+    if which == "kernels3":
+        res["kernels3"] = bench_kernels3()
     print(json.dumps(res))

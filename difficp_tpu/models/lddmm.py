@@ -266,9 +266,22 @@ def v2p(cfg: LDDMMConfig, q, v_target, rcond=1e-3, alpha=1e-4,
 def random_p(cfg: LDDMMConfig, q, key, rcond=1e-3, alpha=1e-4,
              version: str = "svd", qmask=None):
     """Sample momenta from the Bayesian prior P(p) ~ exp(-lambda H(q, p))
-    (LDDMM.py:257-280).  Only for eta == 0, like the reference."""
+    (LDDMM.py:257-280).  Only for eta == 0, like the reference.
+
+    Requires a dense matrix root of K(q, q): O(M^2) memory / O(M^3) compute
+    (same wall as the reference's SVD/Cholesky, LDDMM.py:272-279) — guarded
+    so a large-M call fails with an actionable message instead of OOMing."""
     if cfg.eta != 0.0:
         raise NotImplementedError("random_p requires gradcomponent=False")
+    m = q.shape[0]
+    if m * m > red.DENSE_PAIR_LIMIT:
+        raise ValueError(
+            f"random_p needs a dense (M, M) kernel matrix root; M={m} is "
+            f"above the dense pair limit ({red.DENSE_PAIR_LIMIT} pairs). "
+            "Sample on a decimated/grid support set instead (the prior is "
+            "an RKHS prior — a coarse support spans the same fields), or "
+            "raise DIFFICP_DENSE_PAIR_LIMIT explicitly."
+        )
     d2 = jnp.sum((q[:, None, :] - q[None, :, :]) ** 2, axis=-1)
     k = jnp.exp(-d2 / (2.0 * cfg.sigma**2))
     if qmask is not None:

@@ -290,6 +290,119 @@ def rhs_self_bwd_poly(q, p, mask, gv, gg, gc, sigma, eta, ti=256, tj=512):
     return dq, dp
 
 
+def _cross_bwd_polys(d, sigma, eta):
+    """Backward polynomials of the CROSS fused RHS (ring rotations): row
+    outputs (dq_row, dp_row) and col outputs (dq_col, dp_col) kept separate
+    — rows hold the cotangents (gv, gg, gc), cols are the rotating shard."""
+    key = ("cross", d, float(sigma), float(eta))
+    if key not in _POLY_CACHE:
+        u = 1.0 / (float(sigma) ** 2)
+        s = _rhs_pair_density(d, u, float(eta), self_pair=True)
+        row = _grad_polys(s, d, u, sides=("row",))
+        sw = s.swap()
+        delta_sw = [_q(e, 0) - _q(e, 1) for e in range(d)]
+        col = {}
+        for e in range(d):
+            col[f"dq{e}"] = sw.diff(f"q{e}", 0) - u * (delta_sw[e] * sw)
+            col[f"dp{e}"] = sw.diff(f"p{e}", 0)
+        _POLY_CACHE[key] = (row, col)
+    return _POLY_CACHE[key]
+
+
+def rhs_cross_bwd_poly(qr, pr, mr, qc_, pc_, mc_, gv, gg, gc, sigma, eta,
+                       ti=256, tj=512):
+    """(dq_row, dp_row, dq_col, dp_col) of the cross fused RHS — generated
+    payload-matmul backward, two kernel-sum directions (rows-vs-cols and
+    cols-vs-rows).  Caller centers BOTH sides by one shift."""
+    m, d = qr.shape
+    n = qc_.shape[0]
+    row_polys, col_polys = _cross_bwd_polys(d, sigma, eta)
+    zc = jnp.zeros((n,), qr.dtype)
+    rvals = {"m": mr, "C": jnp.broadcast_to(jnp.asarray(gc, qr.dtype), (m,))}
+    cvals = {"m": mc_, "C": zc}
+    for e in range(d):
+        rvals[f"q{e}"] = qr[:, e]
+        rvals[f"p{e}"] = pr[:, e]
+        rvals[f"g{e}"] = gv[:, e]
+        rvals[f"h{e}"] = gg[:, e]
+        cvals[f"q{e}"] = qc_[:, e]
+        cvals[f"p{e}"] = pc_[:, e]
+        cvals[f"g{e}"] = zc
+        cvals[f"h{e}"] = zc
+    outs_r = eval_polys(row_polys, qr, qc_, rvals, cvals, sigma, ti, tj)
+    outs_c = eval_polys(col_polys, qc_, qr, cvals, rvals, sigma, ti, tj)
+    dqr = jnp.stack([outs_r[f"dq{e}"] for e in range(d)], axis=1)
+    dpr = jnp.stack([outs_r[f"dp{e}"] for e in range(d)], axis=1)
+    dqc = jnp.stack([outs_c[f"dq{e}"] for e in range(d)], axis=1)
+    dpc = jnp.stack([outs_c[f"dp{e}"] for e in range(d)], axis=1)
+    return dqr, dpr, dqc, dpc
+
+
+def _ham_density(d, u, eta):
+    """Pair density of the cross Hamiltonian share (LDDMM.py:142-159):
+    H_share = sum_ij k m_i m_j [ 1/2 (p_i.p_j) + eta u (p_i.delta)
+                                 - 1/2 eta^2 u (d2 u - d) ]."""
+    delta = [_q(e, 0) - _q(e, 1) for e in range(d)]
+    d2 = _dot_bp(delta, delta)
+    rp = [BP.rvar(f"p{e}") for e in range(d)]
+    cp = [BP.cvar(f"p{e}") for e in range(d)]
+    s = 0.5 * _dot_bp(rp, cp)
+    if eta:
+        s = s + (eta * u) * _dot_bp(rp, delta)
+        s = s - (0.5 * eta * eta * u) * (u * d2 - d)
+    return BP.rvar("m") * BP.cvar("m") * s
+
+
+def _ham_cross_polys(d, sigma, eta):
+    key = ("hamx", d, float(sigma), float(eta))
+    if key not in _POLY_CACHE:
+        u = 1.0 / (float(sigma) ** 2)
+        s = _ham_density(d, u, float(eta))
+        # value + row-side gradient in one direction; col side by swap
+        row = _grad_polys(s, d, u, sides=("row",))
+        row["h"] = s
+        sw = s.swap()
+        delta_sw = [_q(e, 0) - _q(e, 1) for e in range(d)]
+        col = {}
+        for e in range(d):
+            col[f"dq{e}"] = sw.diff(f"q{e}", 0) - u * (delta_sw[e] * sw)
+            col[f"dp{e}"] = sw.diff(f"p{e}", 0)
+        _POLY_CACHE[key] = (row, col)
+    return _POLY_CACHE[key]
+
+
+def hamiltonian_cross_poly(qr, pr, mr, qc_, pc_, mc_, sigma, eta,
+                           grad_sides=(), ti=256, tj=512):
+    """Cross Hamiltonian share H(rows; cols) and, optionally, its gradients
+    wrt each side ('row' / 'col' in ``grad_sides``).  Caller centers."""
+    m, d = qr.shape
+    row_polys, col_polys = _ham_cross_polys(d, sigma, eta)
+
+    def vals(q_, p_, m_):
+        v = {"m": m_}
+        for e in range(d):
+            v[f"q{e}"] = q_[:, e]
+            v[f"p{e}"] = p_[:, e]
+        return v
+
+    rvals = vals(qr, pr, mr)
+    cvals = vals(qc_, pc_, mc_)
+    want = {"h": row_polys["h"]}
+    if "row" in grad_sides:
+        want.update({k: v for k, v in row_polys.items() if k != "h"})
+    outs_r = eval_polys(want, qr, qc_, rvals, cvals, sigma, ti, tj)
+    h = jnp.sum(outs_r["h"])
+    res = {"h": h}
+    if "row" in grad_sides:
+        res["dq_row"] = jnp.stack([outs_r[f"dq{e}"] for e in range(d)], 1)
+        res["dp_row"] = jnp.stack([outs_r[f"dp{e}"] for e in range(d)], 1)
+    if "col" in grad_sides:
+        outs_c = eval_polys(col_polys, qc_, qr, cvals, rvals, sigma, ti, tj)
+        res["dq_col"] = jnp.stack([outs_c[f"dq{e}"] for e in range(d)], 1)
+        res["dp_col"] = jnp.stack([outs_c[f"dp{e}"] for e in range(d)], 1)
+    return res
+
+
 def _ext_bwd_polys(d, sigma, eta):
     u = 1.0 / (float(sigma) ** 2)
     key = ("ext", d, float(sigma), float(eta))

@@ -1911,3 +1911,220 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
 
     op.defvjp(fwd, bwd)
     return op
+
+
+# ---------------------------------------------------------------------------
+# Cross-set fused RHS (the ring-rotation body, parallel/ring.py): row
+# outputs against a DIFFERENT, streamed col set.  Forward reuses the self
+# kernels verbatim (they never assume rows == cols — the self path just
+# passes one pack twice); backward is generated by the pair-polynomial
+# compiler with row and col roles kept separate.
+# ---------------------------------------------------------------------------
+
+
+def _pack_qpm(q, p, mask, npad):
+    d = q.shape[1]
+    return _pack(
+        [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
+        + [mask],
+        npad,
+    )
+
+
+def _rhs_cross_fwd_mm(qr, pr, mr, qc, pc, mc, sigma, withlogdet, ti=256,
+                      tj=512):
+    """Payload-matmul cross forward: (vq, gq, dcost) rows-vs-cols (eta == 0;
+    same row contract as ``_rhs_self_fwd_mm``)."""
+    m, d = qr.shape
+    mpad = -(-m // ti) * ti
+    npad = -(-qc.shape[0] // tj) * tj
+    rowpack = _pack_qpm(qr, pr, mr, mpad)
+    colpack = _pack_qpm(qc, pc, mc, npad)
+    kernel = functools.partial(
+        _rhs_self_mm_kernel, sigma=float(sigma),
+        withlogdet=bool(withlogdet), tj=tj, d=d,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mpad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
+        interpret=_interpret(),
+    )(rowpack, colpack)
+    return out[0:d, :m].T, out[d:2 * d, :m].T, jnp.sum(out[2 * d])
+
+
+def _rhs_cross_fwd_stream(qr, pr, mr, qc, pc, mc, sigma, eta, withlogdet,
+                          ti=256, tj=512):
+    """Streaming (any-eta) cross forward on the VPU self kernel."""
+    m, d = qr.shape
+    mpad = -(-m // ti) * ti
+    npad = -(-qc.shape[0] // tj) * tj
+    rowpack = _pack_qpm(qr, pr, mr, mpad)
+    colpack = _pack_qpm(qc, pc, mc, npad)
+    kernel = functools.partial(
+        _rhs_self_kernel, sigma=float(sigma), eta=float(eta),
+        withlogdet=bool(withlogdet), tj=tj, d=d,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mpad // ti,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, ti), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, mpad), jnp.float32),
+        interpret=_interpret(),
+    )(rowpack, colpack)
+    return out[0:d, :m].T, out[d:2 * d, :m].T, jnp.sum(out[2 * d])
+
+
+def make_rhs_cross(sigma: float, eta: float, withlogdet: bool,
+                   ti: int = 256, tj: int = 512):
+    """Custom-VJP cross fused RHS: (vq, -Gq, dcost) of the ROW set against
+    a streamed COL set (the ring-rotation body; blockwise analog
+    ``blockwise.lddmm_rhs_cross``).  Row outputs are row-masked; summing
+    over a partition of the cols reproduces the self RHS exactly.
+
+    Backward: pair-polynomial payload-matmul kernels for both sides (the
+    rotating shard's (dq_col, dp_col) make the ring reverse-differentiable
+    at kernel speed); "accurate" knob falls back to the blockwise VJP.
+    """
+    sigma = float(sigma)
+    eta = float(eta)
+
+    @jax.custom_vjp
+    def op(qr, pr, mr, qc, pc, mc):
+        c = _mm_center(qc, mc)
+        if eta == 0.0:
+            vq, gq, dc = _rhs_cross_fwd_mm(qr - c, pr, mr, qc - c, pc, mc,
+                                           sigma, withlogdet, ti, tj)
+        else:
+            vq, gq, dc = _rhs_cross_fwd_stream(qr, pr, mr, qc, pc, mc,
+                                               sigma, eta, withlogdet,
+                                               ti, tj)
+        if not withlogdet:
+            dc = jnp.zeros((), qr.dtype)
+        return vq, -gq, dc
+
+    def fwd(qr, pr, mr, qc, pc, mc):
+        return op(qr, pr, mr, qc, pc, mc), (qr, pr, mr, qc, pc, mc)
+
+    def bwd(res, cot):
+        qr, pr, mr, qc, pc, mc = res
+        if _BWD_PRECISION["mode"] == "accurate":
+            from difficp_tpu.ops import blockwise as _block
+
+            def ref(qr_, pr_, qc_, pc_):
+                return _block.lddmm_rhs_cross(qr_, pr_, qc_, pc_, sigma,
+                                              eta, withlogdet, mr, mc)
+
+            _, vjp = jax.vjp(ref, qr, pr, qc, pc)
+            dqr, dpr, dqc, dpc = vjp(cot)
+            return dqr, dpr, None, dqc, dpc, None
+        from difficp_tpu.ops.pair_poly import rhs_cross_bwd_poly
+
+        gv, gg, gc = cot
+        if not withlogdet:
+            gc = jnp.zeros((), qr.dtype)
+        c = _mm_center(qc, mc)
+        dqr, dpr, dqc, dpc = rhs_cross_bwd_poly(
+            qr - c, pr, mr, qc - c, pc, mc, gv, gg, gc, sigma, eta, ti, tj)
+        return dqr, dpr, None, dqc, dpc, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def make_rhs_xcross(sigma: float, eta: float, withlogdet: bool,
+                    ti: int = 256, tj: int = 512):
+    """Custom-VJP cross terms onto EXTERNAL points: (vx, dcost-at-x) of
+    data rows x against a streamed support col set (the ring-rotation body
+    for advected data, blockwise analog ``blockwise._rhs_ext_blockwise``).
+    Gradients flow to x AND to the rotating (q, p) shard."""
+    sigma = float(sigma)
+    eta = float(eta)
+
+    @jax.custom_vjp
+    def op(x, mx, qc, pc, mc):
+        c = _mm_center(qc, mc)
+        vx, dc = _vx_fwd_pallas(x - c, mx, qc - c, pc, mc, sigma, eta,
+                                withlogdet, ti, tj)
+        if not withlogdet:
+            dc = jnp.zeros((), x.dtype)
+        return vx, dc
+
+    def fwd(x, mx, qc, pc, mc):
+        return op(x, mx, qc, pc, mc), (x, mx, qc, pc, mc)
+
+    def bwd(res, cot):
+        x, mx, qc, pc, mc = res
+        gx, gc = cot
+        if not withlogdet:
+            gc = jnp.zeros((), x.dtype)
+        if _BWD_PRECISION["mode"] == "accurate":
+            from difficp_tpu.ops import blockwise as _block
+
+            def ref(x_, qc_, pc_):
+                return _block._rhs_ext_blockwise(x_, qc_, pc_, mc, mx,
+                                                 sigma, eta, withlogdet,
+                                                 1024)
+
+            _, vjp = jax.vjp(ref, x, qc, pc)
+            dx, dq, dp = vjp((gx, gc))
+            return dx, None, dq, dp, None
+        c = _mm_center(qc, mc)
+        if eta == 0.0:
+            dq, dp, dx = _ext_bwd_pallas(qc - c, pc, x - c, mc, mx, gx, gc,
+                                         sigma, ti, tj)
+        else:
+            from difficp_tpu.ops.pair_poly import rhs_ext_bwd_poly
+
+            dq, dp, dx = rhs_ext_bwd_poly(qc - c, pc, x - c, mc, mx, gx,
+                                          gc, sigma, eta, ti, tj)
+        return dx, None, dq, dp, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def make_hamiltonian_cross(sigma: float, eta: float, ti: int = 256,
+                           tj: int = 512):
+    """Custom-VJP cross Hamiltonian share H(rows; cols) (the ring body of
+    ``parallel.ring.ring_hamiltonian``; blockwise analog
+    ``blockwise.hamiltonian_cross``), differentiable wrt both sides."""
+    sigma = float(sigma)
+    eta = float(eta)
+
+    @jax.custom_vjp
+    def op(qr, pr, mr, qc, pc, mc):
+        from difficp_tpu.ops.pair_poly import hamiltonian_cross_poly
+
+        c = _mm_center(qc, mc)
+        return hamiltonian_cross_poly(qr - c, pr, mr, qc - c, pc, mc,
+                                      sigma, eta, (), ti, tj)["h"]
+
+    def fwd(qr, pr, mr, qc, pc, mc):
+        return op(qr, pr, mr, qc, pc, mc), (qr, pr, mr, qc, pc, mc)
+
+    def bwd(res, ghat):
+        qr, pr, mr, qc, pc, mc = res
+        from difficp_tpu.ops.pair_poly import hamiltonian_cross_poly
+
+        c = _mm_center(qc, mc)
+        outs = hamiltonian_cross_poly(qr - c, pr, mr, qc - c, pc, mc,
+                                      sigma, eta, ("row", "col"), ti, tj)
+        return (ghat * outs["dq_row"], ghat * outs["dp_row"], None,
+                ghat * outs["dq_col"], ghat * outs["dp_col"], None)
+
+    op.defvjp(fwd, bwd)
+    return op

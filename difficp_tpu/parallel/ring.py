@@ -29,6 +29,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 from difficp_tpu.ops import blockwise as bw
 
 
+def _use_pallas_ring() -> bool:
+    """Rotation-body backend choice: the payload-matmul cross kernels on
+    TPU (or when the backend is forced to pallas), blockwise scans
+    elsewhere — same policy as ops.backend."""
+    from difficp_tpu.ops import backend as _backend
+
+    if _backend._FORCE["mode"] == "pallas":
+        return True
+    if _backend._FORCE["mode"] is not None:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+_op_cache = {}
+
+
+def _cross_op(kind, sigma, eta, withlogdet):
+    from difficp_tpu.ops import pallas_reductions as pr
+
+    key = (kind, float(sigma), float(eta), bool(withlogdet))
+    if key not in _op_cache:
+        maker = {"rhs": pr.make_rhs_cross, "xrhs": pr.make_rhs_xcross,
+                 "ham": pr.make_hamiltonian_cross}[kind]
+        _op_cache[key] = (maker(sigma, eta, withlogdet) if kind != "ham"
+                          else maker(sigma, eta))
+    return _op_cache[key]
+
+
 def _ring_scan(body, carry0, rotating, axis_name):
     """Scan ``body`` nd times, rotating ``rotating`` (a tuple of per-shard
     arrays) one neighbour step around the ring after each application."""
@@ -56,6 +84,20 @@ def ring_rhs_self(q, p, mask, sigma, withlogdet, axis_name: str,
     GLOBAL dcost (psum-reduced).
     """
 
+    if _use_pallas_ring():
+        op = _cross_op("rhs", sigma, eta, withlogdet)
+
+        def body(carry, rot):
+            vq, mgq, dc = carry
+            qr, pr, mr = rot
+            dvq, dmgq, ddc = op(q, p, mask, qr, pr, mr)
+            return (vq + dvq, mgq + dmgq, dc + ddc)
+
+        carry0 = (jnp.zeros_like(q), jnp.zeros_like(q),
+                  jnp.zeros((), q.dtype))
+        vq, mgq, dc = _ring_scan(body, carry0, (q, p, mask), axis_name)
+        return vq, mgq, jax.lax.psum(dc, axis_name)
+
     def body(carry, rot):
         vq, gq, dc = carry
         qr, pr, mr = rot
@@ -81,6 +123,25 @@ def ring_rhs_ext(q, p, x, mask_q, mask_x, sigma, withlogdet, axis_name: str,
     matching ``ops.reductions.lddmm_rhs_ext``: returns local (vq, -Gq, vx)
     rows and the GLOBAL dcost.
     """
+
+    if _use_pallas_ring():
+        op = _cross_op("rhs", sigma, eta, False)
+        xop = _cross_op("xrhs", sigma, eta, withlogdet)
+
+        def body(carry, rot):
+            vq, mgq, vx, dc = carry
+            qr, pr, mr = rot
+            dvq, dmgq, _ = op(q, p, mask_q, qr, pr, mr)
+            dvx, ddc = xop(x, mask_x, qr, pr, mr)
+            return (vq + dvq, mgq + dmgq, vx + dvx, dc + ddc)
+
+        carry0 = (
+            jnp.zeros_like(q), jnp.zeros_like(q), jnp.zeros_like(x),
+            jnp.zeros((), q.dtype),
+        )
+        vq, mgq, vx, dc = _ring_scan(body, carry0, (q, p, mask_q),
+                                     axis_name)
+        return vq, mgq, jax.lax.psum(dc, axis_name), vx
 
     def body(carry, rot):
         vq, gq, vx, dc = carry
@@ -110,11 +171,18 @@ def ring_hamiltonian(q, p, mask, sigma, eta, axis_name: str,
     """Global H(q, p) of a point-sharded set (inside shard_map), incl. the
     gradcomponent eta terms (LDDMM.py:142-159)."""
 
-    def body(h, rot):
-        qr, pr, mr = rot
-        return h + bw.hamiltonian_cross(
-            q, p, qr, pr, sigma, eta, mask, mr, tile
-        )
+    if _use_pallas_ring():
+        op = _cross_op("ham", sigma, eta, False)
+
+        def body(h, rot):
+            qr, pr, mr = rot
+            return h + op(q, p, mask, qr, pr, mr)
+    else:
+        def body(h, rot):
+            qr, pr, mr = rot
+            return h + bw.hamiltonian_cross(
+                q, p, qr, pr, sigma, eta, mask, mr, tile
+            )
 
     h = _ring_scan(body, jnp.zeros((), q.dtype), (q, p, mask), axis_name)
     return jax.lax.psum(h, axis_name)

@@ -66,8 +66,12 @@ def test_pallas_ext_eta_matches_dense(withlogdet):
 
 
 def test_pallas_self_eta_grad_matches_dense():
-    """The eta != 0 backward (blockwise VJP inside the custom_vjp) agrees
-    with autograd through the dense implementation."""
+    """The eta != 0 backward agrees with autograd through the dense
+    implementation: to the split3 monomial-cancellation floor on the
+    default "fast" path (generated payload-matmul kernels, r3), and to f32
+    exactness with the "accurate" knob (blockwise VJP)."""
+    from difficp_tpu.ops.pallas_reductions import set_bwd_precision
+
     q, p, mask = data(60, 2, seed=4)
     op = make_rhs_self(SIGMA, ETA, True, ti=32, tj=32)
 
@@ -79,12 +83,23 @@ def test_pallas_self_eta_grad_matches_dense():
         vq, mgq, dc = dense.lddmm_rhs_self(q_, p_, SIGMA, ETA, True, mask)
         return jnp.sum(vq**2) + jnp.sum(mgq * q_) + dc
 
-    gq_p, gp_p = jax.grad(loss_pallas, argnums=(0, 1))(q, p)
     gq_d, gp_d = jax.grad(loss_dense, argnums=(0, 1))(q, p)
-    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_d), rtol=5e-4,
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_d), rtol=5e-4,
-                               atol=1e-4)
+
+    gq_p, gp_p = jax.grad(loss_pallas, argnums=(0, 1))(q, p)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_d),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_d),
+                               rtol=3e-2, atol=3e-2)
+
+    set_bwd_precision("accurate")
+    try:
+        gq_a, gp_a = jax.grad(loss_pallas, argnums=(0, 1))(q, p)
+    finally:
+        set_bwd_precision("fast")
+    np.testing.assert_allclose(np.asarray(gq_a), np.asarray(gq_d),
+                               rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_a), np.asarray(gp_d),
+                               rtol=5e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("eta", [0.0, ETA])

@@ -70,3 +70,59 @@ def test_offload_matches_diffpsr():
         np.asarray(atlas.x1[: atlas.K]), np.asarray(psr.x1), rtol=5e-2,
         atol=5e-3,
     )
+
+
+def _multi_structure_data(k=6, seed=0):
+    """K frames x S=2 structures (spiral subset + a shifted circle),
+    ragged sizes."""
+    rng = np.random.default_rng(seed)
+    x = []
+    for kk in range(k):
+        s0 = SPIRAL[f"x{kk}"][: 60 + 5 * kk]
+        th = rng.uniform(0, 2 * np.pi, 40 + 3 * kk).astype(np.float32)
+        s1 = np.stack([1.5 + 0.3 * np.cos(th), 1.5 + 0.3 * np.sin(th)], 1)
+        s1 = s1 + 0.02 * rng.standard_normal(s1.shape).astype(np.float32)
+        x.append([s0, s1.astype(np.float32)])
+    return x
+
+
+def test_offload_multistructure_grid_support_matches_diffpsr():
+    """S=2 structures + grid support: the streamed host-offload driver ==
+    DiffPSR (the reference compspec/dataspec generality, PSR.py:46-63 with
+    PSR.py:430-493 support schemes)."""
+    from difficp_tpu.models.psr import DiffPSR
+
+    x = _multi_structure_data()
+    states_cfgs = [make_gmm(), make_gmm()]
+    states = [sc[0] for sc in states_cfgs]
+    cfgs = [sc[1] for sc in states_cfgs]
+
+    atlas = HostOffloadAtlas(x, states, cfgs, LCFG, chunk_frames=3)
+    atlas.set_support_scheme("grid", rho=1.5)
+    fes = atlas.run(2, **RUN_KW)
+    assert atlas.fe_increase_events == 0
+
+    psr = DiffPSR(x, states, cfgs, LCFG)
+    psr.printstuff = False
+    psr.set_support_scheme("grid", rho=1.5)
+    for _ in range(2):
+        psr.GMM_opt(max_iterations=RUN_KW["max_em"], tol=0.0)
+        psr.Reg_opt(tol=1e-3, nmax=RUN_KW["reg_nmax"],
+                    inner=RUN_KW["reg_inner"], ls_steps=RUN_KW["reg_ls"])
+    assert psr.fe_increase_events == 0
+    np.testing.assert_allclose(fes[-1], psr.FE, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(atlas.x1[: atlas.K]), np.asarray(psr.x1), rtol=5e-2,
+        atol=5e-3,
+    )
+
+
+def test_offload_decim_support_runs_monotone():
+    x = _multi_structure_data(k=4)
+    states_cfgs = [make_gmm(), make_gmm()]
+    atlas = HostOffloadAtlas(x, [sc[0] for sc in states_cfgs],
+                             [sc[1] for sc in states_cfgs], LCFG,
+                             chunk_frames=4)
+    atlas.set_support_scheme("decim", rho=2.0)
+    atlas.run(2, **RUN_KW)
+    assert atlas.fe_increase_events == 0

@@ -50,7 +50,7 @@ def test_basic_run_matches_reference():
         fes.append(psr.FE)
 
     fe_ref = float(REF["FE_seq"][-1])
-    assert abs(psr.FE - fe_ref) < 0.02 * abs(fe_ref), (psr.FE, fe_ref)
+    assert abs(psr.FE - fe_ref) < 0.01 * abs(fe_ref), (psr.FE, fe_ref)
 
     # sigma of the GMM converges to the same value
     np.testing.assert_allclose(

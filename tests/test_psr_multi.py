@@ -44,7 +44,7 @@ def test_multi_atlas_matches_reference():
 
     fe_ref = float(REF["FE_seq"][n_iter - 1])
     # free energy within 2% of the torch reference run at the same iteration
-    assert abs(psr.FE - fe_ref) < 0.02 * abs(fe_ref), (psr.FE, fe_ref)
+    assert abs(psr.FE - fe_ref) < 0.01 * abs(fe_ref), (psr.FE, fe_ref)
     # GMM sigma converges to the same noise scale (ref value is at 15 iters)
     np.testing.assert_allclose(
         float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=0.15
@@ -89,7 +89,7 @@ def test_multi_atlas_fused_run_matches_golden():
                   chunk=4)
     assert psr.fe_increase_events == 0
     fe_ref = float(REF["FE_seq"][n_iter - 1])
-    assert abs(psr.FE - fe_ref) < 0.02 * abs(fe_ref), (psr.FE, fe_ref)
+    assert abs(psr.FE - fe_ref) < 0.01 * abs(fe_ref), (psr.FE, fe_ref)
     assert len(fes) == n_iter
     # warped clouds also track the reference configuration
     for k in (0, 5):
