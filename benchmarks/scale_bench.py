@@ -137,8 +137,10 @@ def bench_std(k=10, n=16384, ny=1024, n_iter=3):
     loop — data_distance streams via the backend dispatch (no (Nx, Ny) Gram
     materialization; reference PSR_standard.py:37-58 rides KeOps here).
 
-    One fused run(1) per measured iteration keeps each device program within
-    the axon ~60 s watchdog (Reg_opt 1x4 inner steps + Template_opt 1x4)."""
+    Stepwise programs (Reg_opt / Template_opt each its own short device
+    program, inner=4 / ls=12): the fused run(1) at this size was killed by
+    the axon ~60 s device-program watchdog on its second execution — the
+    split keeps every program well under it."""
     import jax.numpy as jnp
 
     from difficp_tpu.models import lddmm
@@ -161,14 +163,18 @@ def bench_std(k=10, n=16384, ny=1024, n_iter=3):
                      data_sigma=0.1)
     psr.printstuff = False
 
+    def one_iter():
+        psr.Reg_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12)
+        psr.Template_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12)
+
     t0 = time.time()
-    psr.run(1, reg_nmax=1, reg_inner=4, reg_ls=12, tmpl_nmax=1)
+    one_iter()
     print(f"std atlas compile+first iter: {time.time()-t0:.1f}s "
           f"E={psr.E:.4f}", flush=True)
 
     t0 = time.time()
     for _ in range(n_iter):
-        psr.run(1, reg_nmax=1, reg_inner=4, reg_ls=12, tmpl_nmax=1)
+        one_iter()
     dt = (time.time() - t0) / n_iter
     print(
         f"std atlas K={k} x N={n} (template {ny}): {dt:.2f} s/outer-iter, "

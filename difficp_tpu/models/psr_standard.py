@@ -98,9 +98,11 @@ def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
     return dataloss
 
 
-@partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax"))
+@partial(jax.jit, static_argnames=("lcfg", "slices", "use_ext", "nmax",
+                                   "inner", "ls_steps"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
-                 slices, use_ext, nmax, tol, alpha0=None):
+                 slices, use_ext, nmax, tol, alpha0=None, inner=20,
+                 ls_steps=25):
     """All-frames LDDMM registration of the template onto each data set.
 
     x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
@@ -120,6 +122,7 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
             lcfg, dataloss, q0, a0k,
             ally0 if use_ext else None,
             None, None, nmax=nmax, tol=tol, alpha0=alk if warm else None,
+            inner=inner, max_linesearch_steps=ls_steps,
         )
         y1k = res.final.x if use_ext else res.final.q
         return (res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change,
@@ -155,9 +158,11 @@ def _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2, use_weights):
     return lambda y: loss_of(y, None)
 
 
-@partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax"))
+@partial(jax.jit, static_argnames=("lcfg", "use_weights", "nmax", "inner",
+                                   "ls_steps"))
 def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
-                      nmax, tol, use_weights, alpha0=None):
+                      nmax, tol, use_weights, alpha0=None, inner=20,
+                      ls_steps=25):
     """L-BFGS over one structure's template (and optional weights), gradient
     through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
     so repeated Template_opt calls reuse the compiled program instead of
@@ -166,9 +171,11 @@ def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
                           use_weights)
     if use_weights:
         res = lbfgs_optimize(lossfn, (y0s, w0s), nmax=nmax, tol=tol,
-                             alpha0=alpha0)
+                             alpha0=alpha0, inner=inner,
+                             max_linesearch_steps=ls_steps)
         return res.params[0], res.params[1], res.loss, res.n_steps, res.alpha
-    res = lbfgs_optimize(lossfn, y0s, nmax=nmax, tol=tol, alpha0=alpha0)
+    res = lbfgs_optimize(lossfn, y0s, nmax=nmax, tol=tol, alpha0=alpha0,
+                         inner=inner, max_linesearch_steps=ls_steps)
     return res.params, w0s, res.loss, res.n_steps, res.alpha
 
 
@@ -474,7 +481,7 @@ class DiffPSRStd(MultiPSRStd):
 
     # ----- partial optimizations ---------------------------------------
 
-    def Reg_opt(self, nmax=10, tol=1e-3):
+    def Reg_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25):
         use_ext = self.support_scheme is not None
         noise2 = tuple(v**2 for v in self.noise_std)
         alpha0 = getattr(self, "_reg_alpha", None)
@@ -487,7 +494,7 @@ class DiffPSRStd(MultiPSRStd):
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
             tuple(self.slices), use_ext, nmax, tol,
-            alpha0=alpha0,
+            alpha0=alpha0, inner=inner, ls_steps=ls_steps,
         )
         self._reg_alpha = alpha  # warm-start the next call's line search
         self.a0 = a0
@@ -499,7 +506,7 @@ class DiffPSRStd(MultiPSRStd):
             f"loss={float(np.asarray(regl).sum() + np.asarray(datal).sum()):.4}"
         )
 
-    def Template_opt(self, nmax=10, tol=1e-3):
+    def Template_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25):
         """L-BFGS over template positions (and weights); gradient through all
         K shoots (PSR_standard.py:226-255).  Rides the module-level jitted
         ``_template_opt_std`` — one compiled program per static config,
@@ -518,6 +525,7 @@ class DiffPSRStd(MultiPSRStd):
                 self.y0[s], w0s,
                 self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
                 self.template_weights, alpha0=tmpl_alpha[s],
+                inner=inner, ls_steps=ls_steps,
             )
             tmpl_alpha[s] = als
             self._tmpl_alpha = tmpl_alpha

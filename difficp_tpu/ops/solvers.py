@@ -84,15 +84,16 @@ def kridge_solve_cg(q, v, sigma, alpha=1e-4, mask=None, tol=1e-6,
     torch solve, kernel.py:227-242, capped at small M there too).
 
     K is PSD and alpha > 0 makes the system SPD, so plain CG converges;
-    the matvec streams j-tiles (O(M) memory)."""
-    from difficp_tpu.ops import blockwise as _block
+    the matvec rides the dispatched kernel-sum (pallas payload-matmul on
+    TPU, blockwise scan elsewhere; O(M) memory either way)."""
+    from difficp_tpu.ops import backend as _red
 
     if mask is not None:
         v = v * mask[:, None]
 
     def matvec(b):
-        out = _block.kred(
-            q, q, b if mask is None else b * mask[:, None], sigma, mask, tile
+        out = _red.kred(
+            q, q, b if mask is None else b * mask[:, None], sigma, mask
         )
         if mask is not None:
             # identity rows for padded slots (same convention as _masked_gram)
