@@ -131,6 +131,27 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
     return jax.vmap(one)(a0, x, xmask, alpha0)
 
 
+@partial(jax.jit, static_argnames=("slices",))
+def _datalosses_ydep(x, xmask, y1, w0cat, slices, data_sigma, noise2):
+    """y-dependent part of the (K, S) dataloss matrix — <fy, fy> - 2<fy, fx>
+    for every frame and structure in ONE program (the constant <fx, fx> term
+    is cached by the caller)."""
+
+    def one(xk, xmk, y1k):
+        vals = []
+        for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
+            vals.append(
+                data_distance(
+                    xk[xlo:xhi], y1k[ylo:yhi], data_sigma,
+                    w=None if w0cat is None else w0cat[ylo:yhi],
+                    mask_x=xmk[xlo:xhi], skip_xx=True,
+                ) / noise2[s]
+            )
+        return jnp.stack(vals)
+
+    return jax.vmap(one)(x, xmask, y1)
+
+
 @jax.jit
 def _xx_term(x, sigma, mask_x):
     """The constant <fx, fx> term of data_distance for one frame (vmapped by
@@ -392,10 +413,32 @@ class MultiPSRStd:
             )
         ) / self.noise_std[s] ** 2
 
+    def _const_xx(self):
+        """Per-(k, s) constant <fx, fx>/noise^2 matrix (data-only term)."""
+        cols = []
+        for s, (_, _, xlo, xhi) in enumerate(self.slices):
+            v = jax.vmap(lambda xk, mk: _xx_term(xk, self.data_sigma, mk))(
+                self.x[:, xlo:xhi], self.xmask[:, xlo:xhi]
+            )
+            cols.append(np.asarray(v, np.float64) / self.noise_std[s] ** 2)
+        return np.stack(cols, axis=1)
+
     def update_datalosses(self):
-        for k in range(self.K):
-            for s in range(self.S):
-                self.dataloss[k, s] = self._dataloss_ks(k, s)
+        """Refresh the (K, S) dataloss matrix.
+
+        The <fx, fx> term is constant (the data never moves) — computed once
+        and cached; the y-dependent terms for ALL frames and structures run
+        as ONE jitted program with a single host readback.  The old
+        per-(k, s) eager loop re-ran the Nx^2-pair constant reduction
+        K x S times per phase and dominated stepwise wall-clock at scale
+        (K=10 x N=16k on chip: ~37-44 s/outer-iter before, ~11 s after —
+        the eager constant terms cost ~3x the actual L-BFGS work)."""
+        if getattr(self, "_xx_cache", None) is None:
+            self._xx_cache = self._const_xx()
+        noise2 = jnp.asarray([v**2 for v in self.noise_std])
+        ydep = _datalosses_ydep(self.x, self.xmask, self.y1, self.w0_cat,
+                                tuple(self.slices), self.data_sigma, noise2)
+        self.dataloss = self._xx_cache + np.asarray(ydep, np.float64)
 
     def update_E(self, message=None):
         e = float(self.regloss.sum()) + float(self.dataloss.sum())
@@ -573,16 +616,6 @@ class DiffPSRStd(MultiPSRStd):
         return LDDMMRegistration(cfg=self.lcfg, q0=self.q0, a0=self.a0[k])
 
     # ----- fused alternating loop --------------------------------------
-
-    def _const_xx(self):
-        """Per-(k, s) constant <fx, fx>/noise^2 matrix (data-only term)."""
-        cols = []
-        for s, (_, _, xlo, xhi) in enumerate(self.slices):
-            v = jax.vmap(lambda xk, mk: _xx_term(xk, self.data_sigma, mk))(
-                self.x[:, xlo:xhi], self.xmask[:, xlo:xhi]
-            )
-            cols.append(np.asarray(v, np.float64) / self.noise_std[s] ** 2)
-        return np.stack(cols, axis=1)
 
     def run(self, n_iters: int, reg_nmax=10, reg_tol=1e-3, reg_inner=20,
             reg_ls=25, tmpl_nmax=10, tmpl_tol=1e-3):
