@@ -122,3 +122,22 @@ def test_fused_run_energy_includes_const(rng):
     psr.E = None
     psr.update_E()
     assert abs(psr.E - e_run) < 1e-3 * max(1.0, abs(e_run))
+
+
+def test_stepwise_knobs_and_cached_dataloss(rng):
+    """inner/ls_steps knobs on the stepwise methods (the short-program
+    regime at scale) keep the energy monotone, and the cached-<fx,fx>
+    update_datalosses matches the eager per-(k,s) computation exactly."""
+    psr = _make_psr(rng)
+    for _ in range(2):
+        psr.Reg_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12)
+        psr.Template_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12)
+    assert psr.e_increase_events == 0
+
+    # cached const + batched ydep == eager full data_distance per (k, s)
+    batched = np.asarray(psr.dataloss)
+    eager = np.zeros_like(batched)
+    for k in range(psr.K):
+        for s in range(psr.S):
+            eager[k, s] = psr._dataloss_ks(k, s)
+    assert np.allclose(batched, eager, rtol=1e-4, atol=1e-6)
