@@ -265,6 +265,23 @@ def bench_phases(m=131072, c=64, nt=10, ls_steps=12):
     out["inferred_ls_evals_steady"] = round(
         out["regopt_call4_s"] * 1e3 / out["loss_grad_ms"], 1
     )
+    # carried L-BFGS memory across the watchdog-split calls (r3): the
+    # quasi-Newton state survives, so steady-state steps run ~2 evals and
+    # make real progress instead of steepest-descent crawling
+    fe0 = psr.FE
+    for j in (1, 2, 3):
+        t0 = time.time()
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=1, ls_steps=ls_steps,
+                    carry_memory=True)
+        dt = time.time() - t0
+        out[f"regopt_mem_call{j}_s"] = round(dt, 2)
+        evals = dt * 1e3 / out["loss_grad_ms"]
+        print(f"Reg_opt carry_memory call {j}: {dt:.1f}s ~= {evals:.1f} "
+              f"loss+grad evals (dFE={psr.FE - fe0:.1f})", flush=True)
+        fe0 = psr.FE
+    out["inferred_ls_evals_mem"] = round(
+        out["regopt_mem_call3_s"] * 1e3 / out["loss_grad_ms"], 1
+    )
     out["M"] = m
     return out
 

@@ -158,6 +158,10 @@ class OptimizeResult(NamedTuple):
     change: jax.Array
     alpha: jax.Array = jnp.asarray(0.0)  # accepted line-search step size
     #   (warm-start the next optimize on the same frame with alpha0=alpha)
+    memory: any = None  # L-BFGS curvature memory — thread into the next
+    #   optimize on the same frame (memory0=...) so watchdog-split short
+    #   calls keep quasi-Newton convergence instead of restarting as
+    #   steepest descent (utils/lbfgs.LBFGSMemory)
 
 
 def _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask):
@@ -199,6 +203,7 @@ def optimize(
     inner: int = 20,
     max_linesearch_steps: int = 25,
     alpha0=None,
+    memory0=None,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
@@ -223,12 +228,13 @@ def optimize(
     res = lbfgs_optimize(
         lossfn_aux, p0, nmax=nmax, inner=inner, tol=tol,
         errthresh=errthresh, max_linesearch_steps=max_linesearch_steps,
-        alpha0=alpha0, has_aux=True,
+        alpha0=alpha0, has_aux=True, memory0=memory0,
     )
     final, trajl, datal = res.aux
     return OptimizeResult(
         p0=res.params, final=final, trajl=trajl, datal=datal,
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
+        memory=res.memory,
     )
 
 

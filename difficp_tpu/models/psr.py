@@ -37,6 +37,7 @@ from difficp_tpu.models import gmm as gmm_mod
 from difficp_tpu.models import lddmm as lddmm_mod
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import PaddedFrames, pad_frames, pad_structures
+from difficp_tpu.utils.lbfgs import zero_memory as lbfgs_zero_memory
 from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
@@ -96,21 +97,29 @@ def _frame_quad_dataloss(yk, sig2k, xmk, wk):
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
     coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25, alpha0=None,
+    mem0=None,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
     Replaces the reference's per-frame loop + torch LBFGS (PSR.py:521-569).
     ``ptw`` is the per-point inlier weight gammaT (ones without outliers).
     ``alpha0``: per-frame (K,) warm-start line-search step sizes (0 = cold).
-    Returns new a0, warped points x1, per-frame (regloss, datal, nsteps,
-    change), per-frame uncovered point counts along the final shoot, and the
-    per-frame accepted step sizes (feed back as ``alpha0`` next call).
+    ``mem0``: per-frame batched LBFGSMemory carried across watchdog-split
+    calls (None = fresh memory every call, the reference-per-call
+    semantics).  Returns new a0, warped points x1, per-frame (regloss,
+    datal, nsteps, change), per-frame uncovered point counts along the
+    final shoot, the per-frame accepted step sizes, and the final per-frame
+    memory (or None).
     """
     warm = alpha0 is not None
     if not warm:
         alpha0 = jnp.zeros((q0.shape[0],), jnp.float32)  # dummy for vmap
+    carry_mem = mem0 is not None
+    if not carry_mem:
+        # dummy scalar per frame so vmap's in_axes stay uniform
+        mem0 = jnp.zeros((q0.shape[0],), jnp.float32)
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk):
         dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         res = lddmm_mod.optimize(
             lcfg,
@@ -125,6 +134,7 @@ def _reg_opt_lddmm(
             inner=inner,
             max_linesearch_steps=ls_steps,
             alpha0=alk if warm else None,
+            memory0=memk if carry_mem else None,
         )
         if coverage_check and use_ext:
             # one more shoot saving the trajectory: warped points + the
@@ -151,9 +161,11 @@ def _reg_opt_lddmm(
             x1k = res.final.x if use_ext else res.final.q
             uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
         return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
-                uncovered, res.alpha)
+                uncovered, res.alpha,
+                res.memory if carry_mem else jnp.zeros((), jnp.float32))
 
-    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0)
+    return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0,
+                         mem0)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
@@ -185,20 +197,25 @@ def _v_all(lcfg, x, q, p, qmask):
     jax.jit,
     static_argnames=(
         "gcfgs", "lcfg", "slices", "n_outer", "max_em", "reg_nmax",
-        "reg_inner", "reg_ls", "use_ext",
+        "reg_inner", "reg_ls", "use_ext", "carry_mem",
     ),
 )
 def _run_loop_lddmm(
     gstates, q0, a0, x0, x1, qmask, xmask,
     gcfgs, lcfg, slices, n_outer, max_em, em_tol, reg_nmax, reg_tol, use_ext,
-    reg_inner=20, reg_ls=25, alpha0=None,
+    reg_inner=20, reg_ls=25, alpha0=None, carry_mem=False, mem0=None,
 ):
     """The whole alternating loop (GMM EM + lockstep registration), fused
     into ONE compiled program: ``n_outer`` iterations of the reference's
     outer loop (ICP_atlas.py:269-298) run on device with zero host round
     trips.  Returns final states + the per-iteration FE sequence (host can
     check the monotonicity oracle and convergence afterwards).
-    """
+
+    ``carry_mem``: thread each frame's L-BFGS curvature memory across the
+    outer iterations (and across chunked calls via ``mem0``) — the EM
+    targets move slowly, so the pairs stay informative and every
+    registration after the first starts quasi-Newton instead of steepest
+    descent."""
     k = x0.shape[0]
 
     def gmm_pass(gstates, x1):
@@ -226,37 +243,45 @@ def _run_loop_lddmm(
         return jnp.concatenate(segs, axis=1)
 
     def outer(carry, _):
-        gstates, a0, x1, alpha = carry
+        gstates, a0, x1, alpha, mem = carry
         gstates, y, ptw, cfes = gmm_pass(gstates, x1)
         sig2 = sig2_of(gstates)
 
-        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk):
+        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk):
             dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
             res = lddmm_mod.optimize(
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
                 xmk if use_ext else None, nmax=reg_nmax, tol=reg_tol,
                 inner=reg_inner, max_linesearch_steps=reg_ls, alpha0=alk,
+                memory0=memk if carry_mem else None,
             )
             x1k = res.final.x if use_ext else res.final.q
-            return res.p0, x1k, res.trajl, res.alpha
+            return (res.p0, x1k, res.trajl, res.alpha,
+                    res.memory if carry_mem else jnp.zeros((), jnp.float32))
 
-        a0, x1, trajl, alpha = jax.vmap(one)(
-            q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha
+        a0, x1, trajl, alpha, mem = jax.vmap(one)(
+            q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha, mem
         )
         quad = jnp.sum(
             (xmask * ptw)[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None])
         )
         fe = jnp.sum(cfes) + jnp.sum(trajl) + quad
-        return (gstates, a0, x1, alpha), (fe, cfes, trajl, quad)
+        return (gstates, a0, x1, alpha, mem), (fe, cfes, trajl, quad)
 
     if alpha0 is None:
         alpha0 = jnp.zeros((k,), jnp.float32)
-    carry0 = (tuple(gstates), a0, x1, alpha0)
-    (gstates, a0, x1, alpha), (fes, cfes, trajls, quads) = jax.lax.scan(
+    if carry_mem and mem0 is None:
+        n = a0[0].size
+        mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(jnp.arange(k))
+    if not carry_mem:
+        mem0 = jnp.zeros((k,), jnp.float32)  # dummy vmap operand
+    carry0 = (tuple(gstates), a0, x1, alpha0, mem0)
+    (gstates, a0, x1, alpha, mem), (fes, cfes, trajls, quads) = jax.lax.scan(
         outer, carry0, None, length=n_outer
     )
-    return gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1], alpha
+    return (gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1], alpha,
+            mem if carry_mem else None)
 
 
 # ---------------------------------------------------------------------------
@@ -539,14 +564,22 @@ class DiffPSR(MultiPSR):
             raise ValueError(f"Unknown support scheme: {scheme}")
 
         self.update_a0(q0_prev, qmask_prev, rcond=1e-1)
+        # the momentum parameter space changed: carried L-BFGS curvature
+        # pairs refer to the old support and are meaningless now
+        self._reg_memory = None
 
     # ----- registration optimization (PSR.py:521-569) ----------------------
 
-    def Reg_opt(self, tol=1e-3, nmax=10, inner=20, ls_steps=25):
+    def Reg_opt(self, tol=1e-3, nmax=10, inner=20, ls_steps=25,
+                carry_memory=False):
         """LDDMM registration optimization (PSR.py:521-569).  ``nmax`` outer
         steps of ``inner`` L-BFGS iterations each (torch semantics:
         max_iter=20 per step).  At large scale keep nmax*inner small enough
-        that one program execution stays under the runtime watchdog."""
+        that one program execution stays under the runtime watchdog — and
+        pass ``carry_memory=True`` so the split short calls keep the L-BFGS
+        curvature memory (a fresh memory per call is steepest descent,
+        which cannot move a stiff raw-sum objective at 100k+ points:
+        measured useful steps below the f32 resolution of the iterate)."""
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
         alpha0 = getattr(self, "_reg_alpha", None)
@@ -555,13 +588,23 @@ class DiffPSR(MultiPSR):
             # free from its mandatory entry evaluation (same compiled
             # program as the warm path)
             alpha0 = jnp.zeros((self.q0.shape[0],), jnp.float32)
-        a0, x1, trajl, datal, nsteps, change, uncovered, alpha = _reg_opt_lddmm(
+        mem0 = None
+        if carry_memory:
+            mem0 = getattr(self, "_reg_memory", None)
+            if mem0 is None:
+                k, n = self.a0.shape[0], self.a0[0].size
+                mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
+                    jnp.arange(k))
+        out = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
             nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
-            alpha0=alpha0,
+            alpha0=alpha0, mem0=mem0,
         )
+        a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem = out
         self._reg_alpha = alpha  # warm-start the next call's line search
+        if carry_memory:
+            self._reg_memory = mem
         self.a0 = a0
         self.x1 = x1
         self.regloss = trajl
@@ -586,7 +629,7 @@ class DiffPSR(MultiPSR):
     def run(self, n_iters: int, max_em: int = 25, em_tol: float = 1e-3,
             reg_nmax: int = 10, reg_tol: float = 1e-3,
             chunk: Optional[int] = None, reg_inner: int = 20,
-            reg_ls: int = 25):
+            reg_ls: int = 25, carry_memory: bool = False):
         """Fused fast path: run ``n_iters`` full alternations (GMM EM +
         lockstep registration) as ONE compiled device program — zero host
         round trips inside the loop.  Equivalent to calling GMM_opt() +
@@ -612,20 +655,25 @@ class DiffPSR(MultiPSR):
         alpha = getattr(self, "_reg_alpha", None)
         if alpha is None:
             alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
+        mem = getattr(self, "_reg_memory", None) if carry_memory else None
         while done < n_iters:
             c = min(chunk, n_iters - done)
-            gstates, a0, x1, fes, cfes, trajl, quad, alpha = _run_loop_lddmm(
-                tuple(self.gmm), self.q0, a0 if done else self.a0,
-                self.x0, x1 if done else self.x1,
-                self.qmask, self.xmask,
-                tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
-                c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
-                reg_inner=reg_inner, reg_ls=reg_ls, alpha0=alpha,
-            )
+            gstates, a0, x1, fes, cfes, trajl, quad, alpha, mem = \
+                _run_loop_lddmm(
+                    tuple(self.gmm), self.q0, a0 if done else self.a0,
+                    self.x0, x1 if done else self.x1,
+                    self.qmask, self.xmask,
+                    tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
+                    c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
+                    reg_inner=reg_inner, reg_ls=reg_ls, alpha0=alpha,
+                    carry_mem=carry_memory, mem0=mem,
+                )
             self.gmm = list(gstates)
             fes_list.append(np.asarray(fes, np.float64))
             done += c
         self._reg_alpha = alpha
+        if carry_memory:
+            self._reg_memory = mem
         self.a0 = a0
         self.x1 = x1
         self.regloss = trajl

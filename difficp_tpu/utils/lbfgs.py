@@ -67,11 +67,48 @@ class LBFGSResult(NamedTuple):
     aux: any = None   # with ``has_aux``: the auxiliary output of lossfn AT
     #   the best evaluation (e.g. the arrival ShootState — saves callers the
     #   re-shoot at the returned params, reference optim.py re-evaluates)
+    memory: any = None  # final L-BFGS curvature memory (LBFGSMemory); feed
+    #   back as ``memory0`` of the next call on the same problem so a
+    #   watchdog-split sequence of short calls behaves like the reference's
+    #   one long call (fresh memory per short call = steepest descent,
+    #   which cannot move a stiff raw-sum objective at scale: measured
+    #   useful steps below the f32 resolution of the iterate at M=131k)
 
 
-# accepted steps below this are "no progress" artifacts (zoom shrunk to
-# nothing on a converged/stuck lane), never useful warm-start seeds
-_ALPHA_DEGENERATE = 1e-10
+class LBFGSMemory(NamedTuple):
+    """Circular (s, y) curvature memory of ``lbfgs_optimize`` — thread
+    across calls via ``memory0=res.memory`` (vmapped callers carry a (K,)
+    batch of it like the warm-start alpha)."""
+    S: jax.Array      # (m, n) step differences, newest at (pos - 1) % m
+    Y: jax.Array      # (m, n) gradient differences
+    rho: jax.Array    # (m,) 1 / <s, y>
+    pos: jax.Array    # scalar int — next write slot
+    count: jax.Array  # scalar int — number of valid pairs (<= m)
+
+
+def zero_memory(n: int, memory_size: int = 20,
+                dtype=jnp.float32) -> LBFGSMemory:
+    """Empty curvature memory for an ``n``-parameter problem — the cold
+    sentinel for ``memory0`` threading (count == 0 behaves exactly like
+    passing no memory, so cold and warm calls share one compiled program;
+    vmapped callers broadcast it to a (K,) batch)."""
+    return LBFGSMemory(
+        S=jnp.zeros((memory_size, n), dtype),
+        Y=jnp.zeros((memory_size, n), dtype),
+        rho=jnp.zeros((memory_size,), dtype),
+        pos=jnp.asarray(0),
+        count=jnp.asarray(0),
+    )
+
+
+# steps below this are exact-zero / denormal artifacts, never real steps.
+# This is deliberately far below any physical step size: at M=131k the
+# genuine Wolfe step of the raw-sum registration objective measures
+# ~1e-13, and an absolute floor of 1e-10 (the r2 value) silently discarded
+# every curvature pair and warm seed there — quality protection is the
+# SCALE-FREE <s, y> cosine gate plus the true-accept flag, not an absolute
+# step floor.
+_ALPHA_DEGENERATE = 1e-25
 
 _C1 = 1e-4   # Armijo (sufficient decrease) constant
 _C2 = 0.9    # strong-Wolfe curvature constant (quasi-Newton standard)
@@ -145,6 +182,8 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             jnp.asarray(0),
             ~descent,                       # done (no-descent lanes skip)
             jnp.zeros((), jnp.bool_),       # in_zoom
+            jnp.zeros((), jnp.bool_),       # accepted (strong-Wolfe hit)
+            jnp.zeros((), jnp.bool_),       # prev zoom trial hugged an edge
             zero, fx, dg0, gx,              # lo: a, f, dg, full grad
             zero + jnp.inf, zero + jnp.inf, zero,  # hi: a, f, dg
             jnp.maximum(a1, 1e-30).astype(fd),     # current trial step
@@ -156,7 +195,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             return jnp.logical_and(~c[1], c[0] < max_steps)
 
         def body(c):
-            (k, done, in_zoom, a_lo, f_lo, dg_lo, g_lo,
+            (k, done, in_zoom, was_acc, was_edge, a_lo, f_lo, dg_lo, g_lo,
              a_hi, f_hi, dg_hi, a, acc_a, acc_f, acc_g,
              bx, bf, baux) = c
             xa = x + a * d
@@ -190,37 +229,54 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             ng_lo = jnp.where(lo_upd, ga, g_lo)
             nzoom = jnp.logical_or(in_zoom, jnp.logical_or(hi_cond, flip))
 
-            # next trial: safeguarded cubic inside the zoom bracket,
-            # 2x growth while still bracketing
+            # next trial inside the zoom bracket: cubic CLAMPED into the
+            # 10%-margin interior (a cubic pushing past an edge still moves
+            # >=10x toward it per step — plain bisection needs ~12 halvings
+            # when the Wolfe step sits 3-4 orders below the seed, which
+            # exhausted real 131k line searches).  Two consecutive edge
+            # hugs -> bisect (torch _strong_wolfe's insufficient-progress
+            # rule), so a stalling cubic cannot pin the bracket.
             cube = _cubic_min(na_lo, nf_lo, ndg_lo, na_hi, nf_hi, ndg_hi)
             amin = jnp.minimum(na_lo, na_hi)
             amax = jnp.maximum(na_lo, na_hi)
             w = amax - amin
-            safe = jnp.logical_and(
-                jnp.isfinite(cube),
-                jnp.logical_and(cube > amin + 0.1 * w,
-                                cube < amax - 0.1 * w),
-            )
-            z_next = jnp.where(safe, cube, 0.5 * (na_lo + na_hi))
-            a_next = jnp.where(nzoom, z_next, 2.0 * a)
+            lo_edge = amin + 0.1 * w
+            hi_edge = amax - 0.1 * w
+            clamped = jnp.clip(cube, lo_edge, hi_edge)
+            at_edge = jnp.logical_or(clamped <= lo_edge,
+                                     clamped >= hi_edge)
+            mid = 0.5 * (na_lo + na_hi)
+            use_bisect = jnp.logical_or(
+                ~jnp.isfinite(cube), jnp.logical_and(at_edge, was_edge))
+            z_next = jnp.where(use_bisect, mid, clamped)
+            nwas_edge = jnp.logical_and(at_edge, ~use_bisect)
+            # bracketing growth: cubic extrapolation through (lo, trial),
+            # clamped to [2a, 10a] (fixed 2x growth needs ~12 doublings to
+            # recover a 3-4 orders-too-small seed)
+            grow = _cubic_min(a_lo, f_lo, dg_lo, a, fa, dga)
+            grow = jnp.where(jnp.isfinite(grow),
+                             jnp.clip(grow, 2.0 * a, 10.0 * a), 2.0 * a)
+            a_next = jnp.where(nzoom, z_next, grow)
 
             nacc_a = jnp.where(accept, a, acc_a)
             nacc_f = jnp.where(accept, fa, acc_f)
             nacc_g = jnp.where(accept, ga, acc_g)
             ndone = jnp.logical_or(done, accept)
-            return (k + 1, ndone, nzoom, na_lo, nf_lo, ndg_lo, ng_lo,
+            nwas_acc = jnp.logical_or(was_acc, accept)
+            return (k + 1, ndone, nzoom, nwas_acc, nwas_edge,
+                    na_lo, nf_lo, ndg_lo, ng_lo,
                     na_hi, nf_hi, ndg_hi, a_next, nacc_a, nacc_f, nacc_g,
                     bx, bf, baux)
 
         out = jax.lax.while_loop(cond, body, carry0)
-        (_, done, _, a_lo, f_lo, _, g_lo, _, _, _, _,
+        (_, done, _, was_acc, _, a_lo, f_lo, _, g_lo, _, _, _, _,
          acc_a, acc_f, acc_g, bx, bf, baux) = out
         # budget exhausted: fall back to lo (Armijo-satisfying by
         # invariant; a_lo = 0 means "no move", a safe stall)
         acc_a = jnp.where(done, acc_a, a_lo)
         acc_f = jnp.where(done, acc_f, f_lo)
         acc_g = jnp.where(done, acc_g, g_lo)
-        return acc_a, acc_f, acc_g, bx, bf, baux
+        return acc_a, acc_f, acc_g, was_acc, bx, bf, baux
 
     return linesearch
 
@@ -263,6 +319,7 @@ def lbfgs_optimize(
     max_linesearch_steps: int = 25,
     alpha0=None,
     has_aux: bool = False,
+    memory0: LBFGSMemory | None = None,
 ) -> LBFGSResult:
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
@@ -280,6 +337,14 @@ def lbfgs_optimize(
     ``has_aux``: ``lossfn`` returns ``(loss, aux)``; the aux of the BEST
     evaluation is returned in ``LBFGSResult.aux`` (lets the LDDMM caller
     reuse the accepted trial's arrival ShootState instead of re-shooting).
+
+    ``memory0``: curvature memory from a previous call on the same problem
+    (``res.memory``).  A sequence of short calls (the on-device watchdog
+    forces ``nmax=1``-sized programs at scale) then optimizes like the
+    reference's single long call; without it every short call restarts as
+    steepest descent, which is hopeless on stiff objectives.  The slowly
+    moving EM targets between calls make the carried pairs slightly stale —
+    the curvature-pair quality gate drops any that turned inconsistent.
     """
     x0, unravel = ravel_pytree(p0)
     m = int(memory_size)
@@ -311,9 +376,17 @@ def lbfgs_optimize(
     best_x0 = x0
     best_f0 = jnp.where(jnp.isfinite(f0), f0, jnp.asarray(jnp.inf, fd))
 
-    S0 = jnp.zeros((m, n), x0.dtype)
-    Y0 = jnp.zeros((m, n), x0.dtype)
-    rho0 = jnp.zeros((m,), fd)
+    if memory0 is None:
+        S0 = jnp.zeros((m, n), x0.dtype)
+        Y0 = jnp.zeros((m, n), x0.dtype)
+        rho0 = jnp.zeros((m,), fd)
+        pos0 = jnp.asarray(0)
+        count0 = jnp.asarray(0)
+    else:
+        S0, Y0 = memory0.S, memory0.Y
+        rho0 = memory0.rho
+        pos0 = memory0.pos
+        count0 = memory0.count
 
     def make_inner_step(active):
         # ``active`` is this lane's outer-loop condition re-evaluated
@@ -338,7 +411,7 @@ def lbfgs_optimize(
             # trial (Nocedal & Wright p.142)
             a1 = jnp.where(count == 0, alpha_h.astype(fd),
                            jnp.ones((), fd))
-            acc_a, acc_f, acc_g, bx, bf, baux = linesearch(
+            acc_a, acc_f, acc_g, acc_ok, bx, bf, baux = linesearch(
                 x, fx, gx, d, a1, bx, bf, baux)
             s = acc_a * d
             y = acc_g - gx
@@ -358,12 +431,16 @@ def lbfgs_optimize(
             rho = jnp.where(good, rho.at[pos].set(rho_new), rho)
             npos = jnp.where(good, (pos + 1) % m, pos)
             ncount = jnp.where(good, jnp.minimum(count + 1, m), count)
-            # record the first accepted steepest-descent step: the warm
-            # seed for the NEXT call's first line search
+            # record the first TRULY accepted (strong-Wolfe, not
+            # budget-fallback) steepest-descent step: the warm seed for the
+            # NEXT call's first line search.  Fallback steps don't qualify —
+            # an exhausted search's a_lo says nothing about the landscape
+            # scale.
             a_first = jnp.where(
-                jnp.logical_and(a_first <= 0,
-                                jnp.logical_and(count == 0,
-                                                acc_a > _ALPHA_DEGENERATE)),
+                jnp.logical_and(
+                    jnp.logical_and(a_first <= 0, acc_ok),
+                    jnp.logical_and(count == 0,
+                                    acc_a > _ALPHA_DEGENERATE)),
                 acc_a.astype(jnp.float32), a_first)
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
@@ -397,7 +474,7 @@ def lbfgs_optimize(
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
-        jnp.asarray(0), jnp.asarray(0),
+        pos0, count0,
         best_x0, best_f0, baux0, jnp.zeros((), jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
     )
@@ -405,24 +482,25 @@ def lbfgs_optimize(
     (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
      change, ref) = out
 
-    # Warm-start value for the next call: the first accepted
-    # (steepest-descent-scale) step, confined to a 16x trust window around
-    # the seed this call STARTED from.  Rationale: a converged or stuck
-    # lane accepts ~0-length steps, and seeding the next line search there
-    # poisons it (the search only grows ~2x per eval, so recovering from
-    # 1e-9 burns the whole budget every subsequent iteration — and vmapped
-    # lanes run at the slowest lane's pace).  The window caps drift at 16x
-    # per call in either direction, a <=4-eval recovery if the landscape
-    # scale genuinely moved further.
+    # Warm-start value for the next call: the first TRULY accepted
+    # (steepest-descent-scale) step, confined to an asymmetric trust
+    # window around the seed this call STARTED from.  Growth stays capped
+    # at 16x/call (r2 lesson: an exploded seed poisons later zooms).
+    # Shrink is allowed down to 4096x because only strong-Wolfe accepts
+    # qualify now — a genuinely tiny landscape scale (measured: 1/||g0||
+    # seeds 5e3x above the Wolfe step at 131k) must thread through, or
+    # every subsequent search re-pays the shrink — while converged-lane
+    # ~0-length budget-fallback steps never reach here (acc_ok gate), and
+    # the clamped-cubic zoom recovers a too-small seed at >=10x/eval
+    # anyway.
     prev_seed = jnp.where(
         jnp.logical_and(jnp.isfinite(alpha_h), alpha_h > 0.0), alpha_h, 1.0)
-    shrink_floor = prev_seed * (2.0 ** -(max_linesearch_steps - 1))
-    ok = jnp.logical_and(
-        jnp.isfinite(a_first),
-        a_first > jnp.maximum(shrink_floor, _ALPHA_DEGENERATE),
-    )
-    alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 16.0,
+    ok = jnp.logical_and(jnp.isfinite(a_first),
+                         a_first > _ALPHA_DEGENERATE)
+    alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 4096.0,
                                    prev_seed * 16.0), prev_seed)
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
                        change=change, alpha=alpha,
-                       aux=baux if has_aux else None)
+                       aux=baux if has_aux else None,
+                       memory=LBFGSMemory(S=S, Y=Y, rho=rho, pos=pos,
+                                          count=count))
