@@ -113,6 +113,16 @@ _ALPHA_DEGENERATE = 1e-25
 _C1 = 1e-4   # Armijo (sufficient decrease) constant
 _C2 = 0.9    # strong-Wolfe curvature constant (quasi-Newton standard)
 
+# torch.optim.LBFGS default inner stopping tolerances (the reference wraps
+# torch with these defaults, optim.py:27): an inner iteration whose loss
+# decrease AND parameter step are both below tolerance_change (or whose
+# gradient is below tolerance_grad) freezes the lane for the rest of this
+# call's inner loop.  Without this, converged lanes burn every inner
+# iteration accepting measurable-zero "wandering" steps — f32 cannot even
+# represent loss changes below eps(|f|), so freezing there is exact.
+_TOL_CHANGE = 1e-9
+_TOL_GRAD = 1e-7
+
 
 def _dot(a, b):
     # data-sized reduction: pin f32-highest on the TPU MXU
@@ -390,22 +400,26 @@ def lbfgs_optimize(
 
     def make_inner_step(active):
         # ``active`` is this lane's outer-loop condition re-evaluated
-        # inside the body.  Unbatched it is always True.  Under vmap,
+        # inside the body; ``act`` (carried) additionally freezes a lane
+        # whose last step fell below the torch inner tolerances.
+        # Unbatched they are True until convergence.  Under vmap,
         # lax.while_loop runs the body for EVERY lane until ALL finish —
         # a converged lane with its real gradient would keep line-searching
         # a flat landscape and drag the joint line-search trip count.
         # Zeroing its direction makes it a no-descent lane: the line
-        # search skips immediately and the lane freezes at zero cost.
+        # search skips immediately (ZERO evaluations) and the lane freezes
+        # at bookkeeping-only cost.
         def inner_step(carry, _):
             (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux,
-             a_first) = carry
+             a_first, act) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
             dg = _dot(g_clean, d)
             # non-descent quasi-Newton direction (stale/corrupt memory):
             # fall back to steepest descent
             d = jnp.where(dg < 0, d, -g_clean)
-            d = jnp.where(active, d, jnp.zeros_like(d))
+            d = jnp.where(jnp.logical_and(active, act), d,
+                          jnp.zeros_like(d))
             # first step is steepest-descent-scaled (seed); once the
             # memory has a pair, the gamma scaling makes 1.0 the natural
             # trial (Nocedal & Wright p.142)
@@ -442,10 +456,22 @@ def lbfgs_optimize(
                     jnp.logical_and(count == 0,
                                     acc_a > _ALPHA_DEGENERATE)),
                 acc_a.astype(jnp.float32), a_first)
+            # torch inner stopping rule (LBFGS defaults, reference
+            # optim.py:27): loss decrease AND max parameter step below
+            # tolerance_change, or gradient below tolerance_grad -> freeze
+            # this lane for the remaining inner iterations of this call
+            df = fx - acc_f
+            step_inf = jnp.max(jnp.abs(s))
+            g_inf = jnp.max(jnp.abs(acc_g))
+            stopped = jnp.logical_or(
+                jnp.logical_and(df <= _TOL_CHANGE, step_inf <= _TOL_CHANGE),
+                g_inf <= _TOL_GRAD,
+            )
+            act = jnp.logical_and(act, ~stopped)
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
             return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf,
-                    baux, a_first), None
+                    baux, a_first, act), None
 
         return inner_step
 
@@ -460,10 +486,11 @@ def lbfgs_optimize(
          change, ref) = carry
         active = outer_cond(carry)
         prev = x
-        (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first), _ = \
+        (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first, _), _ = \
             jax.lax.scan(
                 make_inner_step(active),
-                (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first),
+                (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
+                 active),
                 None, length=inner,
             )
         dx = x - prev
