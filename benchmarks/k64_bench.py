@@ -67,7 +67,8 @@ def tpu(n_iter=6):
                       "FE_last": psr.FE}))
 
 
-def tpu_fused(n_iter=6, chunk=2, reg_nmax=6, reg_inner=10, reg_ls=12):
+def tpu_fused(n_iter=6, chunk=2, reg_nmax=6, reg_inner=10, reg_ls=12,
+              carry_memory=False):
     """The fused-path K=64 bench (VERDICT round-1 item 1): all of (EM +
     lockstep registration) x chunk iterations in ONE device program via
     DiffPSR.run — the per-dispatch overhead of the axon relay (which
@@ -101,15 +102,18 @@ def tpu_fused(n_iter=6, chunk=2, reg_nmax=6, reg_inner=10, reg_ls=12):
 
     t0 = time.time()
     fes = psr.run(chunk, max_em=25, reg_nmax=reg_nmax, chunk=chunk,
-                  reg_inner=reg_inner, reg_ls=reg_ls)
+                  reg_inner=reg_inner, reg_ls=reg_ls,
+                  carry_memory=carry_memory)
     print(f"compile+first chunk({chunk}): {time.time()-t0:.1f}s "
           f"FE={psr.FE:.2f}", flush=True)
 
     t0 = time.time()
     fes = psr.run(n_iter, max_em=25, reg_nmax=reg_nmax, chunk=chunk,
-                  reg_inner=reg_inner, reg_ls=reg_ls)
+                  reg_inner=reg_inner, reg_ls=reg_ls,
+                  carry_memory=carry_memory)
     dt = (time.time() - t0) / n_iter
     print(json.dumps({"mode": "tpu_fused", "K": 64, "chunk": chunk,
+                      "carry_memory": carry_memory,
                       "s_per_iter": round(dt, 3), "FE_last": psr.FE,
                       "fe_increase_events": psr.fe_increase_events}))
 
@@ -169,6 +173,7 @@ if __name__ == "__main__":
         tpu_fused(
             chunk=int(sys.argv[2]) if len(sys.argv) > 2 else 2,
             reg_nmax=int(sys.argv[3]) if len(sys.argv) > 3 else 6,
+            carry_memory=len(sys.argv) > 4 and sys.argv[4] == "carry",
         )
     elif mode == "ref":
         ref()
