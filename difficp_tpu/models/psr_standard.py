@@ -36,6 +36,7 @@ from difficp_tpu.ops import backend as red
 from difficp_tpu.models.registration import AffineRegistration, LDDMMRegistration
 from difficp_tpu.utils.io import pad_structures
 from difficp_tpu.utils.lbfgs import lbfgs_optimize
+from difficp_tpu.utils.lbfgs import zero_memory as lbfgs_zero_memory
 from difficp_tpu.utils.point_sets import decimate, grid_support
 
 
@@ -102,19 +103,24 @@ def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
                                    "inner", "ls_steps"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                  slices, use_ext, nmax, tol, alpha0=None, inner=20,
-                 ls_steps=25):
+                 ls_steps=25, mem0=None):
     """All-frames LDDMM registration of the template onto each data set.
 
     x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
     template concat dimension per structure.  ``alpha0``: per-frame (K,)
-    line-search warm starts (0 = cold).  Returns new a0, warped templates y1
-    (K, Ntot_y, D), regloss, datal, nsteps, change, accepted step sizes.
+    line-search warm starts (0 = cold).  ``mem0``: per-frame batched
+    LBFGSMemory carried across watchdog-split calls (None = fresh).
+    Returns new a0, warped templates y1 (K, Ntot_y, D), regloss, datal,
+    nsteps, change, accepted step sizes, final memory (or None).
     """
     warm = alpha0 is not None
     if not warm:
         alpha0 = jnp.zeros((a0.shape[0],), jnp.float32)  # dummy for vmap
+    carry_mem = mem0 is not None
+    if not carry_mem:
+        mem0 = jnp.zeros((a0.shape[0],), jnp.float32)  # dummy vmap operand
 
-    def one(a0k, xk, xmk, alk):
+    def one(a0k, xk, xmk, alk, memk):
         # skip_xx: the data-data term is constant wrt the momenta
         dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
                                         slices)
@@ -123,12 +129,14 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
             ally0 if use_ext else None,
             None, None, nmax=nmax, tol=tol, alpha0=alk if warm else None,
             inner=inner, max_linesearch_steps=ls_steps,
+            memory0=memk if carry_mem else None,
         )
         y1k = res.final.x if use_ext else res.final.q
         return (res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change,
-                res.alpha)
+                res.alpha,
+                res.memory if carry_mem else jnp.zeros((), jnp.float32))
 
-    return jax.vmap(one)(a0, x, xmask, alpha0)
+    return jax.vmap(one)(a0, x, xmask, alpha0, mem0)
 
 
 @partial(jax.jit, static_argnames=("slices",))
@@ -491,6 +499,9 @@ class DiffPSRStd(MultiPSRStd):
             return lddmm_mod.v2p(self.lcfg, self.q0, v_new, rcond=rcond)
 
         self.a0 = jax.vmap(one)(a0_prev)
+        # support points moved: carried L-BFGS curvature pairs refer to the
+        # old momentum space
+        self._reg_memory = None
 
     def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
                            yticks=None, q0=None):
@@ -524,7 +535,8 @@ class DiffPSRStd(MultiPSRStd):
 
     # ----- partial optimizations ---------------------------------------
 
-    def Reg_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25):
+    def Reg_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25,
+                carry_memory=False):
         use_ext = self.support_scheme is not None
         noise2 = tuple(v**2 for v in self.noise_std)
         alpha0 = getattr(self, "_reg_alpha", None)
@@ -533,13 +545,22 @@ class DiffPSRStd(MultiPSRStd):
             # free from its mandatory entry evaluation (same compiled
             # program as the warm path)
             alpha0 = jnp.zeros((self.K,), jnp.float32)
-        a0, y1, regl, datal, nsteps, change, alpha = _reg_opt_std(
+        mem0 = None
+        if carry_memory:
+            mem0 = getattr(self, "_reg_memory", None)
+            if mem0 is None:
+                n = self.a0[0].size
+                mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
+                    jnp.arange(self.K))
+        a0, y1, regl, datal, nsteps, change, alpha, mem = _reg_opt_std(
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
             tuple(self.slices), use_ext, nmax, tol,
-            alpha0=alpha0, inner=inner, ls_steps=ls_steps,
+            alpha0=alpha0, inner=inner, ls_steps=ls_steps, mem0=mem0,
         )
         self._reg_alpha = alpha  # warm-start the next call's line search
+        if carry_memory:
+            self._reg_memory = mem
         self.a0 = a0
         self.y1 = y1
         self.regloss = np.asarray(regl, np.float64)

@@ -141,3 +141,18 @@ def test_stepwise_knobs_and_cached_dataloss(rng):
         for s in range(psr.S):
             eager[k, s] = psr._dataloss_ks(k, s)
     assert np.allclose(batched, eager, rtol=1e-4, atol=1e-6)
+
+
+def test_stepwise_carry_memory_std(rng):
+    """carry_memory on the std stepwise Reg_opt: monotone, memory persists
+    across Reg calls and invalidates when the template (= support) moves."""
+    psr = _make_psr(rng)
+    psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_memory=True)
+    assert psr._reg_memory is not None
+    psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_memory=True)
+    assert psr.e_increase_events == 0
+    psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8)
+    # dense support == template: the move re-fits a0 and wipes the memory
+    assert psr._reg_memory is None
+    psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_memory=True)
+    assert psr.e_increase_events == 0
