@@ -162,6 +162,11 @@ class OptimizeResult(NamedTuple):
     #   optimize on the same frame (memory0=...) so watchdog-split short
     #   calls keep quasi-Newton convergence instead of restarting as
     #   steepest descent (utils/lbfgs.LBFGSMemory)
+    grad: any = None  # dL/dp0 AT the returned p0.  Thread
+    #   ``warm_vg=(grad, final, trajl, datal)`` into the next optimize on
+    #   the UNCHANGED objective (same q0/x0/dataloss) to skip its entry
+    #   value_and_grad — at scale that eval is a full fwd+bwd shoot, half
+    #   of a steady nmax=1 step
 
 
 def _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask):
@@ -204,11 +209,17 @@ def optimize(
     max_linesearch_steps: int = 25,
     alpha0=None,
     memory0=None,
+    warm_vg=None,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
     ``dataloss(pts)`` consumes the warped data points (x1 if x0 given, else
     q1).  Gradients flow by ``jax.grad`` through the scan-based shoot.
+
+    ``warm_vg``: ``(grad, final, trajl, datal)`` of a previous result at
+    ``p0`` on the IDENTICAL objective — skips the entry value+grad (a full
+    fwd+bwd shoot).  Only valid when q0/x0/dataloss have not changed since
+    (watchdog-split calls between EM target updates).
     """
     q0 = jax.lax.stop_gradient(q0)
     if x0 is not None:
@@ -225,16 +236,23 @@ def optimize(
     # aux, so there is no re-shoot at the returned params (the reference
     # re-shoots once for reporting, LDDMM.py:394-396; at 131k points that
     # final shoot was ~0.75 s of every Reg_opt step)
+    if warm_vg is not None:
+        grad0, final0, trajl0, datal0 = warm_vg
+        value0 = trajl0 + datal0
+        aux0 = (final0, trajl0, datal0)
+    else:
+        grad0 = value0 = aux0 = None
     res = lbfgs_optimize(
         lossfn_aux, p0, nmax=nmax, inner=inner, tol=tol,
         errthresh=errthresh, max_linesearch_steps=max_linesearch_steps,
         alpha0=alpha0, has_aux=True, memory0=memory0,
+        value0=value0, grad0=grad0, aux0=aux0,
     )
     final, trajl, datal = res.aux
     return OptimizeResult(
         p0=res.params, final=final, trajl=trajl, datal=datal,
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
-        memory=res.memory,
+        memory=res.memory, grad=res.grad,
     )
 
 

@@ -97,7 +97,7 @@ def _frame_quad_dataloss(yk, sig2k, xmk, wk):
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
     coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25, alpha0=None,
-    mem0=None,
+    mem0=None, vg0=None,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
@@ -106,10 +106,14 @@ def _reg_opt_lddmm(
     ``alpha0``: per-frame (K,) warm-start line-search step sizes (0 = cold).
     ``mem0``: per-frame batched LBFGSMemory carried across watchdog-split
     calls (None = fresh memory every call, the reference-per-call
-    semantics).  Returns new a0, warped points x1, per-frame (regloss,
-    datal, nsteps, change), per-frame uncovered point counts along the
-    final shoot, the per-frame accepted step sizes, and the final per-frame
-    memory (or None).
+    semantics).  ``vg0``: per-frame batched ``(grad, final, trajl, datal)``
+    of the previous call at ``a0`` — ONLY valid while the objective is
+    unchanged (no EM target / support / sigma update since); skips the
+    entry value+grad shoot of every L-BFGS.  Returns new a0, warped points
+    x1, per-frame (regloss, datal, nsteps, change), per-frame uncovered
+    point counts along the final shoot, the per-frame accepted step sizes,
+    the final per-frame memory (or None), and the new vg tuple for the next
+    threaded call.
     """
     warm = alpha0 is not None
     if not warm:
@@ -118,8 +122,11 @@ def _reg_opt_lddmm(
     if not carry_mem:
         # dummy scalar per frame so vmap's in_axes stay uniform
         mem0 = jnp.zeros((q0.shape[0],), jnp.float32)
+    carry_vg = vg0 is not None
+    if not carry_vg:
+        vg0 = jnp.zeros((q0.shape[0],), jnp.float32)
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, vgk):
         dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         res = lddmm_mod.optimize(
             lcfg,
@@ -135,6 +142,7 @@ def _reg_opt_lddmm(
             max_linesearch_steps=ls_steps,
             alpha0=alk if warm else None,
             memory0=memk if carry_mem else None,
+            warm_vg=vgk if carry_vg else None,
         )
         if coverage_check and use_ext:
             # one more shoot saving the trajectory: warped points + the
@@ -162,10 +170,11 @@ def _reg_opt_lddmm(
             uncovered = jnp.zeros((lcfg.nt + 1,), jnp.int32)
         return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
                 uncovered, res.alpha,
-                res.memory if carry_mem else jnp.zeros((), jnp.float32))
+                res.memory if carry_mem else jnp.zeros((), jnp.float32),
+                (res.grad, res.final, res.trajl, res.datal))
 
     return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0,
-                         mem0)
+                         mem0, vg0)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
@@ -387,6 +396,11 @@ class MultiPSR:
             jnp.broadcast_to(state.sigma**2, (self.K, pf.nmax)),
         )
         self.quadloss = self.quadloss.at[:, s].set(ql)
+        # the registration objective changed (targets y / weights / sigma):
+        # a threaded entry (value, grad) would corrupt the next L-BFGS's
+        # Armijo baseline.  Curvature memory is kept — pairs are tolerant
+        # of slowly moving targets; the exact-value baseline is not.
+        self._reg_vg = None
 
     def update_GMM_targets(self):
         """Recompute targets y / Cfe / quadloss without parameter updates
@@ -503,6 +517,8 @@ class DiffPSR(MultiPSR):
         With eta == 0 the zero-speed momenta are exactly zero, so the
         ill-conditioned RKHS solve is skipped (matters at scale: the solve
         is an O(M^3) SVD on the support set)."""
+        self._reg_vg = None  # momenta moved: threaded entry (value, grad)
+        #   no longer holds at the new a0
         if self.lcfg.eta == 0.0:
             self.a0 = jnp.zeros_like(self.q0)
             return
@@ -516,6 +532,7 @@ class DiffPSR(MultiPSR):
             a0_prev = self.a0
         v_new = _v_all(self.lcfg, self.q0, q0_prev, a0_prev, qmask_prev)
         self.a0 = _v2p_all(self.lcfg, self.q0, v_new, self.qmask, rcond)
+        self._reg_vg = None  # new support / momenta: stale entry (value, grad)
 
     def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
                            yticks=None, q0=None):
@@ -571,7 +588,7 @@ class DiffPSR(MultiPSR):
     # ----- registration optimization (PSR.py:521-569) ----------------------
 
     def Reg_opt(self, tol=1e-3, nmax=10, inner=20, ls_steps=25,
-                carry_memory=False):
+                carry_memory=False, carry_value=False):
         """LDDMM registration optimization (PSR.py:521-569).  ``nmax`` outer
         steps of ``inner`` L-BFGS iterations each (torch semantics:
         max_iter=20 per step).  At large scale keep nmax*inner small enough
@@ -579,7 +596,15 @@ class DiffPSR(MultiPSR):
         pass ``carry_memory=True`` so the split short calls keep the L-BFGS
         curvature memory (a fresh memory per call is steepest descent,
         which cannot move a stiff raw-sum objective at 100k+ points:
-        measured useful steps below the f32 resolution of the iterate)."""
+        measured useful steps below the f32 resolution of the iterate).
+
+        ``carry_value=True`` additionally threads the previous call's
+        (loss, gradient, arrival state) at a0 into this call, skipping its
+        mandatory entry value+grad — a full fwd+bwd shoot, i.e. ~half of a
+        steady nmax=1 step at scale.  Only live while the objective is
+        unchanged: any EM target / support / momenta update invalidates the
+        carried pair automatically (the first Reg_opt after it re-evaluates;
+        threaded and unthreaded calls are distinct compiled programs)."""
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
         alpha0 = getattr(self, "_reg_alpha", None)
@@ -595,17 +620,22 @@ class DiffPSR(MultiPSR):
                 k, n = self.a0.shape[0], self.a0[0].size
                 mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
                     jnp.arange(k))
+        vg0 = getattr(self, "_reg_vg", None) if carry_value else None
         out = _reg_opt_lddmm(
             self.lcfg, self.q0, self.a0,
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
             nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
-            alpha0=alpha0, mem0=mem0,
+            alpha0=alpha0, mem0=mem0, vg0=vg0,
         )
-        a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem = out
+        a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem, vg = out
         self._reg_alpha = alpha  # warm-start the next call's line search
         if carry_memory:
             self._reg_memory = mem
         self.a0 = a0
+        # store AFTER the a0 update: vg holds (grad, final, trajl, datal)
+        # at the new a0 — valid for the next call until the objective moves
+        # (_apply_gmm_outputs / update_a0 null it)
+        self._reg_vg = vg
         self.x1 = x1
         self.regloss = trajl
         self._update_quadlosses()

@@ -185,11 +185,9 @@ def _q(e, side):
     return (BP.rvar if side == 0 else BP.cvar)(f"q{e}")
 
 
-def _rhs_pair_density(d, u, eta, self_pair: bool):
-    """The cotangent-weighted pair density S_ij of the fused RHS.
-
-    L = sum_i gv_i.vq_i + gg_i.(-Gq_i) + gc * dcost  ==  sum_ij k_ij S_ij
-    with (reference LDDMM.py:100-116,176-216; streaming kernels
+def _self_component_polys(d, u, eta):
+    """The OUTPUT densities of the fused self RHS, mask factors included
+    (reference LDDMM.py:100-116,176-216; streaming kernels
     ``_rhs_self_kernel`` / ``_vx_kernel``):
 
       vq_i  = m_i sum_j k m_j (p_j + eta u delta)
@@ -199,40 +197,130 @@ def _rhs_pair_density(d, u, eta, self_pair: bool):
               c = p_i - p_j
       dc    = sum_i m_i sum_j k m_j (-u (p_i.delta) + eta u (d2 u - d))
 
-    ``self_pair=False`` drops the Gq terms (the ext cross density: rows are
-    data points x, cols the support; gv then plays the gx role and dc is
-    the x-side logdet cost with +u (delta.p_j) sign, ``_vx_kernel``).
-    Row vars: q,p,g(=gv),h(=gg),m,C(=gc broadcast); col vars: q,p,m.
+    Returns ``(vq[d], gq[d], dc)`` as BPs.  The FORWARD evaluates these
+    directly (``rhs_self_fwd_poly``); the BACKWARD differentiates the
+    cotangent-weighted combination (``_rhs_pair_density``) — one shared
+    construction, so fwd and bwd can never drift apart.
     """
     delta = [_q(e, 0) - _q(e, 1) for e in range(d)]
     d2 = _dot_bp(delta, delta)
     rp = [BP.rvar(f"p{e}") for e in range(d)]
     cp = [BP.cvar(f"p{e}") for e in range(d)]
-    rg = [BP.rvar(f"g{e}") for e in range(d)]
-    rh = [BP.rvar(f"h{e}") for e in range(d)]
-    rm, cm, rC = BP.rvar("m"), BP.cvar("m"), BP.rvar("C")
+    mm = BP.rvar("m") * BP.cvar("m")
 
+    vq = [mm * (cp[e] + (eta * u) * delta[e]) for e in range(d)]
+    pp = _dot_bp(rp, cp)
+    cvec = [rp[e] - cp[e] for e in range(d)]
+    gq = [
+        mm * ((-u) * pp * delta[e]
+              - eta * ((u * u) * _dot_bp(delta, cvec) * delta[e]
+                       - u * cvec[e])
+              + (eta * eta * u * u) * (u * d2 - (d + 2)) * delta[e])
+        for e in range(d)
+    ]
+    dc = mm * ((-u) * _dot_bp(rp, delta) + (eta * u) * (u * d2 - d))
+    return vq, gq, dc
+
+
+def _ext_component_polys(d, u, eta):
+    """Output densities of the ext cross terms: rows are data points x
+    (their coordinates bound to the row ``q`` vars), cols the support
+    (q, p).  ``vx`` is the advecting field at x; ``dcx`` the x-side logdet
+    cost with the +u (delta.p_j) sign (reference LDDMM.py:120-138;
+    streaming kernel ``_vx_kernel``)."""
+    delta = [_q(e, 0) - _q(e, 1) for e in range(d)]
+    d2 = _dot_bp(delta, delta)
+    cp = [BP.cvar(f"p{e}") for e in range(d)]
+    mm = BP.rvar("m") * BP.cvar("m")
+    vx = [mm * (cp[e] + (eta * u) * delta[e]) for e in range(d)]
+    dcx = mm * (u * _dot_bp(cp, delta) + (eta * u) * (u * d2 - d))
+    return vx, dcx
+
+
+def _rhs_pair_density(d, u, eta, self_pair: bool):
+    """The cotangent-weighted pair density S_ij of the fused RHS:
+
+    L = sum_i gv_i.vq_i + gg_i.(-Gq_i) + gc * dcost  ==  sum_ij k_ij S_ij
+
+    built from the shared component densities (``_self_component_polys`` /
+    ``_ext_component_polys``).  ``self_pair=False`` is the ext cross
+    density: gv plays the gx role and dc is the x-side cost.
+    Row vars: q,p,g(=gv),h(=gg),m,C(=gc broadcast); col vars: q,p,m.
+    """
+    rg = [BP.rvar(f"g{e}") for e in range(d)]
+    rC = BP.rvar("C")
     if self_pair:
-        s = _dot_bp(rg, [cp[e] + (eta * u) * delta[e] for e in range(d)])
-        pp = _dot_bp(rp, cp)
-        cvec = [rp[e] - cp[e] for e in range(d)]
-        gq = [
-            (-u) * pp * delta[e]
-            - eta * ((u * u) * _dot_bp(delta, cvec) * delta[e]
-                     - u * cvec[e])
-            + (eta * eta * u * u) * (u * d2 - (d + 2)) * delta[e]
-            for e in range(d)
-        ]
-        s = s - _dot_bp(rh, gq)
-        s = s + rC * ((-u) * _dot_bp(rp, delta)
-                      + (eta * u) * (u * d2 - d))
+        vq, gq, dc = _self_component_polys(d, u, eta)
+        rh = [BP.rvar(f"h{e}") for e in range(d)]
+        s = _dot_bp(rg, vq) - _dot_bp(rh, gq) + rC * dc
     else:
-        # cross terms: vx rows get (p_j + eta u delta); the x-side logdet
-        # cost is +u (delta . p_j) (reference sign at LDDMM.py:120-138 via
-        # _vx_kernel) + the same eta Laplacian term
-        s = _dot_bp(rg, [cp[e] + (eta * u) * delta[e] for e in range(d)])
-        s = s + rC * (u * _dot_bp(cp, delta) + (eta * u) * (u * d2 - d))
-    return rm * cm * s
+        vx, dcx = _ext_component_polys(d, u, eta)
+        s = _dot_bp(rg, vx) + rC * dcx
+    return s
+
+
+def _self_fwd_polys(d, sigma, eta, withlogdet):
+    key = ("selffwd", d, float(sigma), float(eta), bool(withlogdet))
+    if key not in _POLY_CACHE:
+        u = 1.0 / (float(sigma) ** 2)
+        vq, gq, dc = _self_component_polys(d, u, float(eta))
+        polys = {}
+        for e in range(d):
+            polys[f"vq{e}"] = vq[e]
+            polys[f"gq{e}"] = gq[e]
+        if withlogdet:
+            polys["dc"] = dc
+        _POLY_CACHE[key] = polys
+    return _POLY_CACHE[key]
+
+
+def rhs_self_fwd_poly(q, p, mask, sigma, eta, withlogdet, ti=256, tj=512):
+    """(vq, Gq, dc) of the fused self RHS for any eta — payload-matmul
+    forward generated from the same component densities as the backward
+    (the caller centers q).  Contract == the streaming ``_rhs_self_kernel``
+    (which runs the VPU at ~1/3 the MXU pace at scale)."""
+    m, d = q.shape
+    vals = {"m": mask}
+    for e in range(d):
+        vals[f"q{e}"] = q[:, e]
+        vals[f"p{e}"] = p[:, e]
+    outs = eval_polys(_self_fwd_polys(d, sigma, eta, withlogdet), q, q,
+                      vals, vals, sigma, ti, tj)
+    vq = jnp.stack([outs[f"vq{e}"] for e in range(d)], axis=1)
+    gq = jnp.stack([outs[f"gq{e}"] for e in range(d)], axis=1)
+    dc = jnp.sum(outs["dc"]) if withlogdet else jnp.zeros((), q.dtype)
+    return vq, gq, dc
+
+
+def _ext_fwd_polys(d, sigma, eta, withlogdet):
+    key = ("extfwd", d, float(sigma), float(eta), bool(withlogdet))
+    if key not in _POLY_CACHE:
+        u = 1.0 / (float(sigma) ** 2)
+        vx, dcx = _ext_component_polys(d, u, float(eta))
+        polys = {f"vx{e}": vx[e] for e in range(d)}
+        if withlogdet:
+            polys["dcx"] = dcx
+        _POLY_CACHE[key] = polys
+    return _POLY_CACHE[key]
+
+
+def rhs_ext_fwd_poly(q, p, x, mask_q, mask_x, sigma, eta, withlogdet,
+                     ti=256, tj=512):
+    """(vx, dc) of the ext cross terms for any eta — payload-matmul forward
+    (caller centers q and x by the same shift).  Contract == the streaming
+    ``_vx_kernel``."""
+    nx, d = x.shape
+    xvals = {"m": mask_x}
+    qvals = {"m": mask_q}
+    for e in range(d):
+        xvals[f"q{e}"] = x[:, e]
+        qvals[f"q{e}"] = q[:, e]
+        qvals[f"p{e}"] = p[:, e]
+    outs = eval_polys(_ext_fwd_polys(d, sigma, eta, withlogdet), x, q,
+                      xvals, qvals, sigma, ti, tj)
+    vx = jnp.stack([outs[f"vx{e}"] for e in range(d)], axis=1)
+    dc = jnp.sum(outs["dcx"]) if withlogdet else jnp.zeros((), x.dtype)
+    return vx, dc
 
 
 def _grad_polys(s, d, u, sides=("row", "col")):

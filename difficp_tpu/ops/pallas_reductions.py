@@ -483,6 +483,17 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
             qc = q - _mm_center(q, mask)
             vq, gq, dc = _rhs_self_fwd_best(qc, p, mask, sigma, withlogdet,
                                             ti, tj)
+        elif (q.shape[0] >= _POLY_FWD_MIN_M
+              and _BWD_PRECISION["mode"] != "accurate"):
+            # generated payload-matmul forward (pair_poly): the same
+            # component densities the generated backward differentiates,
+            # every output an MXU kernel-sum — the streaming VPU kernel
+            # runs ~1/3 of this pace at scale (68 vs ~190 Gpair/s at 131k)
+            from difficp_tpu.ops.pair_poly import rhs_self_fwd_poly
+
+            qc = q - _mm_center(q, mask)
+            vq, gq, dc = rhs_self_fwd_poly(qc, p, mask, sigma, eta,
+                                           withlogdet, ti, tj)
         else:
             vq, gq, dc = _rhs_self_fwd_pallas(q, p, mask, sigma, eta,
                                               withlogdet, ti, tj)
@@ -989,6 +1000,13 @@ _SYM_MAX_MPAD = 140 * 1024
 # Smallest point count where the symmetric-pair BACKWARD beats the
 # full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
 _SYM_BWD_MIN_M = 32768
+
+# eta != 0 forwards switch from the streaming VPU kernels to the generated
+# payload-matmul forward (pair_poly) at this many points: below it the
+# payload-table fixed cost outweighs the MXU win (the streaming kernels are
+# dispatch-bound there anyway); above it the MXU path is ~3x (68 -> ~190
+# Gpair/s at 131k).
+_POLY_FWD_MIN_M = 32768
 
 
 def _fwd_payload_rows(q, p, m, d, idx, rows_total, t):
@@ -1851,11 +1869,24 @@ def make_rhs_ext(sigma: float, eta: float, withlogdet: bool,
         if eta == 0.0:
             vq, gq, _ = _rhs_self_fwd_best(qc, p, maskq, sigma, False,
                                            ti, tj)
+        elif (q.shape[0] >= _POLY_FWD_MIN_M
+              and _BWD_PRECISION["mode"] != "accurate"):
+            from difficp_tpu.ops.pair_poly import rhs_self_fwd_poly
+
+            vq, gq, _ = rhs_self_fwd_poly(qc, p, maskq, sigma, eta,
+                                          False, ti, tj)
         else:
             vq, gq, _ = _rhs_self_fwd_pallas(q, p, maskq, sigma, eta,
                                              False, ti, tj)
-        vx, dc = _vx_fwd_pallas(x - c, maskx, qc, p, maskq, sigma, eta,
-                                withlogdet, ti, tj)
+        if (eta != 0.0 and x.shape[0] >= _POLY_FWD_MIN_M
+                and _BWD_PRECISION["mode"] != "accurate"):
+            from difficp_tpu.ops.pair_poly import rhs_ext_fwd_poly
+
+            vx, dc = rhs_ext_fwd_poly(qc, p, x - c, maskq, maskx, sigma,
+                                      eta, withlogdet, ti, tj)
+        else:
+            vx, dc = _vx_fwd_pallas(x - c, maskx, qc, p, maskq, sigma, eta,
+                                    withlogdet, ti, tj)
         if not withlogdet:
             dc = jnp.zeros((), q.dtype)
         return vq, -gq, dc, vx

@@ -73,6 +73,11 @@ class LBFGSResult(NamedTuple):
     #   one long call (fresh memory per short call = steepest descent,
     #   which cannot move a stiff raw-sum objective at scale: measured
     #   useful steps below the f32 resolution of the iterate at M=131k)
+    grad: any = None  # gradient AT ``params`` (pytree like p0).  Together
+    #   with ``loss`` and ``aux`` this is everything the next call on the
+    #   SAME objective needs to skip its mandatory entry evaluation
+    #   (``value0``/``grad0``/``aux0``): at scale the entry value+grad is a
+    #   full fwd+bwd shoot — half the cost of a steady nmax=1 step
 
 
 class LBFGSMemory(NamedTuple):
@@ -182,7 +187,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
     Armijo and shrink the bracket, which is the divergence recovery.
     """
 
-    def linesearch(x, fx, gx, d, a1, best_x, best_f, best_aux):
+    def linesearch(x, fx, gx, d, a1, best_x, best_f, best_g, best_aux):
         dg0 = _dot(gx, d)
         descent = jnp.logical_and(jnp.isfinite(dg0), dg0 < 0)
         fd = fx.dtype
@@ -198,7 +203,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             zero + jnp.inf, zero + jnp.inf, zero,  # hi: a, f, dg
             jnp.maximum(a1, 1e-30).astype(fd),     # current trial step
             zero, fx, gx,                   # accepted: a, f, full grad
-            best_x, best_f, best_aux,
+            best_x, best_f, best_g, best_aux,
         )
 
         def cond(c):
@@ -207,7 +212,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
         def body(c):
             (k, done, in_zoom, was_acc, was_edge, a_lo, f_lo, dg_lo, g_lo,
              a_hi, f_hi, dg_hi, a, acc_a, acc_f, acc_g,
-             bx, bf, baux) = c
+             bx, bf, bg, baux) = c
             xa = x + a * d
             (fa, aux), ga = vg(xa)
             dga = _dot(ga, d)
@@ -216,6 +221,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             bb = jnp.logical_and(okf, fa < bf)
             bf = jnp.where(bb, fa, bf)
             bx = jnp.where(bb, xa, bx)
+            bg = jnp.where(bb, ga, bg)
             baux = jax.tree.map(lambda n_, o_: jnp.where(bb, n_, o_),
                                 aux, baux)
 
@@ -276,17 +282,17 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             return (k + 1, ndone, nzoom, nwas_acc, nwas_edge,
                     na_lo, nf_lo, ndg_lo, ng_lo,
                     na_hi, nf_hi, ndg_hi, a_next, nacc_a, nacc_f, nacc_g,
-                    bx, bf, baux)
+                    bx, bf, bg, baux)
 
         out = jax.lax.while_loop(cond, body, carry0)
         (_, done, _, was_acc, _, a_lo, f_lo, _, g_lo, _, _, _, _,
-         acc_a, acc_f, acc_g, bx, bf, baux) = out
+         acc_a, acc_f, acc_g, bx, bf, bg, baux) = out
         # budget exhausted: fall back to lo (Armijo-satisfying by
         # invariant; a_lo = 0 means "no move", a safe stall)
         acc_a = jnp.where(done, acc_a, a_lo)
         acc_f = jnp.where(done, acc_f, f_lo)
         acc_g = jnp.where(done, acc_g, g_lo)
-        return acc_a, acc_f, acc_g, was_acc, bx, bf, baux
+        return acc_a, acc_f, acc_g, was_acc, bx, bf, bg, baux
 
     return linesearch
 
@@ -330,6 +336,9 @@ def lbfgs_optimize(
     alpha0=None,
     has_aux: bool = False,
     memory0: LBFGSMemory | None = None,
+    value0=None,
+    grad0=None,
+    aux0=None,
 ) -> LBFGSResult:
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
@@ -355,7 +364,22 @@ def lbfgs_optimize(
     steepest descent, which is hopeless on stiff objectives.  The slowly
     moving EM targets between calls make the carried pairs slightly stale —
     the curvature-pair quality gate drops any that turned inconsistent.
+
+    ``value0``/``grad0`` (give both or neither): the loss and gradient AT
+    ``p0`` from a previous result on the IDENTICAL objective
+    (``res.loss``/``res.grad``) — skips this call's mandatory entry
+    ``value_and_grad``.  Unlike ``memory0`` (tolerant of slowly moving
+    targets), these are only valid when the objective has NOT changed since
+    they were computed (e.g. watchdog-split ``Reg_opt`` calls between EM
+    updates); a stale pair silently corrupts the Armijo baseline.  With
+    ``has_aux``, pass the matching ``aux0`` (``res.aux``).  This is a
+    static (trace-time) switch: threaded and unthreaded calls compile to
+    different programs.
     """
+    if (value0 is None) != (grad0 is None):
+        raise ValueError("value0 and grad0 must be given together")
+    if value0 is not None and has_aux and aux0 is None:
+        raise ValueError("aux0 is required with value0/grad0 when has_aux")
     x0, unravel = ravel_pytree(p0)
     m = int(memory_size)
     n = x0.size
@@ -372,8 +396,15 @@ def lbfgs_optimize(
     # 1/||g0|| line-search seed (classical first-step heuristic — the
     # objective is a raw sum over points, reference convention, so the
     # first gradient can be huge and a 1.0 start would burn the whole
-    # zoom budget shrinking)
-    (f0, baux0), g0 = vg(x0)
+    # zoom budget shrinking).  A caller-threaded (value0, grad0) replaces
+    # it entirely: at scale this eval is a full fwd+bwd shoot, i.e. half
+    # of a steady-state nmax=1 step.
+    if value0 is not None:
+        f0 = jnp.asarray(value0)
+        g0 = ravel_pytree(grad0)[0]
+        baux0 = aux0 if has_aux else ()
+    else:
+        (f0, baux0), g0 = vg(x0)
     g0c = jnp.where(jnp.isfinite(g0), g0, 0.0)
     gnorm = jnp.sqrt(_dot(g0c, g0c))
     seed = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
@@ -410,7 +441,7 @@ def lbfgs_optimize(
         # search skips immediately (ZERO evaluations) and the lane freezes
         # at bookkeeping-only cost.
         def inner_step(carry, _):
-            (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux,
+            (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
              a_first, act) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
@@ -425,8 +456,8 @@ def lbfgs_optimize(
             # trial (Nocedal & Wright p.142)
             a1 = jnp.where(count == 0, alpha_h.astype(fd),
                            jnp.ones((), fd))
-            acc_a, acc_f, acc_g, acc_ok, bx, bf, baux = linesearch(
-                x, fx, gx, d, a1, bx, bf, baux)
+            acc_a, acc_f, acc_g, acc_ok, bx, bf, bg, baux = linesearch(
+                x, fx, gx, d, a1, bx, bf, bg, baux)
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
@@ -470,7 +501,7 @@ def lbfgs_optimize(
             act = jnp.logical_and(act, ~stopped)
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
-            return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf,
+            return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf, bg,
                     baux, a_first, act), None
 
         return inner_step
@@ -482,31 +513,32 @@ def lbfgs_optimize(
         return jnp.logical_or(i == 0, keep)
 
     def outer_body(carry):
-        (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
+        (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
          change, ref) = carry
         active = outer_cond(carry)
         prev = x
-        (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first, _), _ = \
+        (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
+         _), _ = \
             jax.lax.scan(
                 make_inner_step(active),
-                (x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
-                 active),
+                (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
+                 a_first, active),
                 None, length=inner,
             )
         dx = x - prev
         change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
         ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
-        return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux,
+        return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
                 a_first, change, ref)
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
         pos0, count0,
-        best_x0, best_f0, baux0, jnp.zeros((), jnp.float32),
+        best_x0, best_f0, g0, baux0, jnp.zeros((), jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
-    (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, baux, a_first,
+    (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
      change, ref) = out
 
     # Warm-start value for the next call: the first TRULY accepted
@@ -530,4 +562,5 @@ def lbfgs_optimize(
                        change=change, alpha=alpha,
                        aux=baux if has_aux else None,
                        memory=LBFGSMemory(S=S, Y=Y, rho=rho, pos=pos,
-                                          count=count))
+                                          count=count),
+                       grad=unravel(bg))

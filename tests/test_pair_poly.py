@@ -209,3 +209,75 @@ def test_poly_table_sizes_reasonable():
             for p in polys.values():
                 cms |= p.col_monomials()
             assert len(cms) <= (160 if d == 2 else 520), (d, eta, len(cms))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: generated payload-matmul FORWARDS (any eta)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("eta", [0.0, 0.3])
+@pytest.mark.parametrize("withlogdet", [False, True])
+def test_self_fwd_poly_matches_blockwise(eta, withlogdet):
+    """rhs_self_fwd_poly == blockwise forward (the streaming-kernel oracle):
+    same component densities the generated backward differentiates."""
+    from difficp_tpu.ops.pair_poly import rhs_self_fwd_poly
+
+    qc = Q - _mm_center(Q, MQ)
+    vq, gq, dc = rhs_self_fwd_poly(qc, P, MQ, SIG, eta, withlogdet)
+    vq_b, mgq_b, dc_b = B.lddmm_rhs_self(Q, P, SIG, eta, withlogdet, MQ,
+                                         tile=64)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_b),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(-gq), np.asarray(mgq_b),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(float(dc), float(dc_b), rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("eta", [0.0, 0.3])
+def test_ext_fwd_poly_matches_blockwise(eta):
+    from difficp_tpu.ops.pair_poly import rhs_ext_fwd_poly
+
+    c = _mm_center(Q, MQ)
+    vx, dc = rhs_ext_fwd_poly(Q - c, P, X - c, MQ, MX, SIG, eta, True)
+    _, _, dc_b, vx_b = B.lddmm_rhs_ext(Q, P, X, SIG, eta, True, MQ, MX,
+                                       tile=64)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_b),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(float(dc), float(dc_b), rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("withlogdet", [False, True])
+def test_make_rhs_self_eta_poly_fwd_dispatch(withlogdet, monkeypatch):
+    """With the size gate lowered, the eta != 0 fused self op's FORWARD
+    rides the generated payload-matmul path and still matches the dense
+    reference (and the custom-VJP grads stay wired)."""
+    import difficp_tpu.ops.pallas_reductions as PR
+
+    monkeypatch.setattr(PR, "_POLY_FWD_MIN_M", 1)
+    eta = 0.25
+    op = make_rhs_self(SIG, eta, withlogdet, ti=64, tj=64)
+    vq, mgq, dc = op(Q, P, MQ)
+    vq_d, mgq_d, dc_d = R.lddmm_rhs_self(Q, P, SIG, eta, withlogdet, MQ)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=2e-3)
+
+
+def test_make_rhs_ext_eta_poly_fwd_dispatch(monkeypatch):
+    import difficp_tpu.ops.pallas_reductions as PR
+
+    monkeypatch.setattr(PR, "_POLY_FWD_MIN_M", 1)
+    eta = 0.25
+    op = make_rhs_ext(SIG, eta, True, ti=64, tj=64)
+    vq, mgq, dc, vx = op(Q, P, X, MQ, MX)
+    vq_d, mgq_d, dc_d, vx_d = R.lddmm_rhs_ext(Q, P, X, SIG, eta, True,
+                                              MQ, MX)
+    np.testing.assert_allclose(np.asarray(vq), np.asarray(vq_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mgq), np.asarray(mgq_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=2e-3)
