@@ -103,15 +103,19 @@ def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
                                    "inner", "ls_steps"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                  slices, use_ext, nmax, tol, alpha0=None, inner=20,
-                 ls_steps=25, mem0=None):
+                 ls_steps=25, mem0=None, vg0=None):
     """All-frames LDDMM registration of the template onto each data set.
 
     x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
     template concat dimension per structure.  ``alpha0``: per-frame (K,)
     line-search warm starts (0 = cold).  ``mem0``: per-frame batched
     LBFGSMemory carried across watchdog-split calls (None = fresh).
+    ``vg0``: per-frame batched (grad, final, trajl, datal) of the previous
+    call at ``a0`` — only valid while the template/support/noise are
+    unchanged; skips the entry value+grad of every L-BFGS.
     Returns new a0, warped templates y1 (K, Ntot_y, D), regloss, datal,
-    nsteps, change, accepted step sizes, final memory (or None).
+    nsteps, change, accepted step sizes, final memory (or None), and the
+    new vg tuple for the next threaded call.
     """
     warm = alpha0 is not None
     if not warm:
@@ -119,8 +123,11 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
     carry_mem = mem0 is not None
     if not carry_mem:
         mem0 = jnp.zeros((a0.shape[0],), jnp.float32)  # dummy vmap operand
+    carry_vg = vg0 is not None
+    if not carry_vg:
+        vg0 = jnp.zeros((a0.shape[0],), jnp.float32)
 
-    def one(a0k, xk, xmk, alk, memk):
+    def one(a0k, xk, xmk, alk, memk, vgk):
         # skip_xx: the data-data term is constant wrt the momenta
         dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
                                         slices)
@@ -130,13 +137,15 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
             None, None, nmax=nmax, tol=tol, alpha0=alk if warm else None,
             inner=inner, max_linesearch_steps=ls_steps,
             memory0=memk if carry_mem else None,
+            warm_vg=vgk if carry_vg else None,
         )
         y1k = res.final.x if use_ext else res.final.q
         return (res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change,
                 res.alpha,
-                res.memory if carry_mem else jnp.zeros((), jnp.float32))
+                res.memory if carry_mem else jnp.zeros((), jnp.float32),
+                (res.grad, res.final, res.trajl, res.datal))
 
-    return jax.vmap(one)(a0, x, xmask, alpha0, mem0)
+    return jax.vmap(one)(a0, x, xmask, alpha0, mem0, vg0)
 
 
 @partial(jax.jit, static_argnames=("slices",))
@@ -500,8 +509,9 @@ class DiffPSRStd(MultiPSRStd):
 
         self.a0 = jax.vmap(one)(a0_prev)
         # support points moved: carried L-BFGS curvature pairs refer to the
-        # old momentum space
+        # old momentum space; the threaded entry (value, grad) is stale too
         self._reg_memory = None
+        self._reg_vg = None
 
     def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
                            yticks=None, q0=None):
@@ -536,7 +546,11 @@ class DiffPSRStd(MultiPSRStd):
     # ----- partial optimizations ---------------------------------------
 
     def Reg_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25,
-                carry_memory=False):
+                carry_memory=False, carry_value=False):
+        """``carry_value=True`` threads the previous Reg_opt's (loss,
+        gradient, arrival) at a0 into this call, skipping its entry
+        value+grad shoot — valid only between template/support updates
+        (Template_opt and update_a0 invalidate it automatically)."""
         use_ext = self.support_scheme is not None
         noise2 = tuple(v**2 for v in self.noise_std)
         alpha0 = getattr(self, "_reg_alpha", None)
@@ -552,15 +566,18 @@ class DiffPSRStd(MultiPSRStd):
                 n = self.a0[0].size
                 mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
                     jnp.arange(self.K))
-        a0, y1, regl, datal, nsteps, change, alpha, mem = _reg_opt_std(
+        vg0 = getattr(self, "_reg_vg", None) if carry_value else None
+        a0, y1, regl, datal, nsteps, change, alpha, mem, vg = _reg_opt_std(
             self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
             jnp.asarray(noise2), self.data_sigma, self.w0_cat,
             tuple(self.slices), use_ext, nmax, tol,
             alpha0=alpha0, inner=inner, ls_steps=ls_steps, mem0=mem0,
+            vg0=vg0,
         )
         self._reg_alpha = alpha  # warm-start the next call's line search
         if carry_memory:
             self._reg_memory = mem
+        self._reg_vg = vg  # valid until the template/support/momenta move
         self.a0 = a0
         self.y1 = y1
         self.regloss = np.asarray(regl, np.float64)
@@ -608,6 +625,9 @@ class DiffPSRStd(MultiPSRStd):
     def update_state_after_template(self, s):
         """Dependency refresh when the template (= dense support) moved
         (PSR_standard.py:269-316)."""
+        # the template is the Reg_opt dataloss target: a threaded entry
+        # (value, grad) is stale even when the support stays fixed (grid)
+        self._reg_vg = None
         q0_prev = self.q0
         if self.support_scheme is None:
             self.q0 = self.ally0

@@ -156,3 +156,36 @@ def test_stepwise_carry_memory_std(rng):
     assert psr._reg_memory is None
     psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_memory=True)
     assert psr.e_increase_events == 0
+
+
+def test_stepwise_carry_value_std(rng):
+    """carry_value on the std stepwise Reg_opt: threaded calls produce the
+    same energy trajectory as unthreaded ones, stay monotone, and the pair
+    invalidates on every template/support move (grid support included,
+    where a0 stays put but the dataloss target moved)."""
+    es = {}
+    for cv in (False, True):
+        psr = _make_psr(np.random.default_rng(7))
+        seq = []
+        for _ in range(2):
+            for _ in range(2):
+                psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8,
+                            carry_memory=True, carry_value=cv)
+                seq.append(psr.E)
+            psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8)
+            seq.append(psr.E)
+            if cv:
+                assert psr._reg_vg is None  # template moved
+        assert psr.e_increase_events == 0
+        es[cv] = seq
+    np.testing.assert_allclose(es[True], es[False], rtol=1e-5)
+
+    # grid support: Template_opt leaves q0/a0 alone, but the target moved —
+    # the vg pair must STILL be invalidated
+    psr = _make_psr(np.random.default_rng(7), support="grid")
+    psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_value=True)
+    assert psr._reg_vg is not None
+    psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8)
+    assert psr._reg_vg is None
+    psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_value=True)
+    assert psr.e_increase_events == 0
