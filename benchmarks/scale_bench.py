@@ -282,6 +282,23 @@ def bench_phases(m=131072, c=64, nt=10, ls_steps=12):
     out["inferred_ls_evals_mem"] = round(
         out["regopt_mem_call3_s"] * 1e3 / out["loss_grad_ms"], 1
     )
+    # r4: carry_value threads the previous call's (loss, grad, arrival)
+    # into the next call's entry — the mandatory entry value+grad (a full
+    # fwd+bwd shoot, ~half the 2-eval steady state) disappears; steady
+    # steps should run ~1 eval
+    for j in (1, 2, 3):
+        t0 = time.time()
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=1, ls_steps=ls_steps,
+                    carry_memory=True, carry_value=True)
+        dt = time.time() - t0
+        out[f"regopt_vg_call{j}_s"] = round(dt, 2)
+        evals = dt * 1e3 / out["loss_grad_ms"]
+        print(f"Reg_opt carry_value call {j}: {dt:.1f}s ~= {evals:.1f} "
+              f"loss+grad evals (dFE={psr.FE - fe0:.1f})", flush=True)
+        fe0 = psr.FE
+    out["inferred_ls_evals_vg"] = round(
+        out["regopt_vg_call3_s"] * 1e3 / out["loss_grad_ms"], 1
+    )
     out["M"] = m
     return out
 

@@ -200,21 +200,29 @@ def _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2, use_weights):
                                    "ls_steps"))
 def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
                       nmax, tol, use_weights, alpha0=None, inner=20,
-                      ls_steps=25):
+                      ls_steps=25, mem0=None, vg0=None):
     """L-BFGS over one structure's template (and optional weights), gradient
     through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
     so repeated Template_opt calls reuse the compiled program instead of
-    re-tracing a fresh closure each time."""
+    re-tracing a fresh closure each time.
+
+    ``mem0``/``vg0``: curvature memory and (loss, grad) of the previous
+    call — valid only while q0/a0/x/noise are unchanged (grid/custom
+    support between Reg_opts; dense support moves q0 with the template, so
+    a split sequence there must re-evaluate).
+    """
     lossfn = _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2,
                           use_weights)
-    if use_weights:
-        res = lbfgs_optimize(lossfn, (y0s, w0s), nmax=nmax, tol=tol,
-                             alpha0=alpha0, inner=inner,
-                             max_linesearch_steps=ls_steps)
-        return res.params[0], res.params[1], res.loss, res.n_steps, res.alpha
-    res = lbfgs_optimize(lossfn, y0s, nmax=nmax, tol=tol, alpha0=alpha0,
-                         inner=inner, max_linesearch_steps=ls_steps)
-    return res.params, w0s, res.loss, res.n_steps, res.alpha
+    params0 = (y0s, w0s) if use_weights else y0s
+    res = lbfgs_optimize(
+        lossfn, params0, nmax=nmax, tol=tol, alpha0=alpha0, inner=inner,
+        max_linesearch_steps=ls_steps, memory0=mem0,
+        value0=None if vg0 is None else vg0[0],
+        grad0=None if vg0 is None else vg0[1],
+    )
+    ys, ws = (res.params if use_weights else (res.params, w0s))
+    return (ys, ws, res.loss, res.n_steps, res.alpha, res.memory,
+            (res.loss, res.grad))
 
 
 @partial(
@@ -289,7 +297,7 @@ def _run_loop_std(
         # ---- Template_opt: per structure, through K frozen shoots -----
         new_y0, new_w0, new_al = [], [], []
         for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-            ys, ws, _, _, als = _template_opt_std(
+            ys, ws, _, _, als, _, _ = _template_opt_std(
                 lcfg, q0, a0, x[:, xlo:xhi], xmask[:, xlo:xhi],
                 y0[ylo:yhi],
                 w0[ylo:yhi] if use_weights else jnp.zeros((0,), y0.dtype),
@@ -509,9 +517,13 @@ class DiffPSRStd(MultiPSRStd):
 
         self.a0 = jax.vmap(one)(a0_prev)
         # support points moved: carried L-BFGS curvature pairs refer to the
-        # old momentum space; the threaded entry (value, grad) is stale too
+        # old momentum space; the threaded entry (value, grad) is stale too.
+        # The template objective depends on (q0, a0) — both moved: drop its
+        # carried state entirely.
         self._reg_memory = None
         self._reg_vg = None
+        self._tmpl_mem = None
+        self._tmpl_vg = None
 
     def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
                            yticks=None, q0=None):
@@ -578,6 +590,9 @@ class DiffPSRStd(MultiPSRStd):
         if carry_memory:
             self._reg_memory = mem
         self._reg_vg = vg  # valid until the template/support/momenta move
+        # a0 moved: the TEMPLATE objective changed — its threaded entry
+        # (value, grad) is stale (curvature memory tolerates the drift)
+        self._tmpl_vg = None
         self.a0 = a0
         self.y1 = y1
         self.regloss = np.asarray(regl, np.float64)
@@ -587,12 +602,23 @@ class DiffPSRStd(MultiPSRStd):
             f"loss={float(np.asarray(regl).sum() + np.asarray(datal).sum()):.4}"
         )
 
-    def Template_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25):
+    def Template_opt(self, nmax=10, tol=1e-3, inner=20, ls_steps=25,
+                     carry_memory=False, carry_value=False):
         """L-BFGS over template positions (and weights); gradient through all
         K shoots (PSR_standard.py:226-255).  Rides the module-level jitted
         ``_template_opt_std`` — one compiled program per static config,
-        reused across calls and structures."""
+        reused across calls and structures.
+
+        ``carry_memory``/``carry_value``: thread the per-structure L-BFGS
+        curvature memory / entry (loss, grad) across watchdog-split calls.
+        Only live while the template objective is unchanged — any Reg_opt
+        (a0 moved) drops the value pair, and a dense/decim support follow-up
+        (q0 moved with the template) drops both.  With grid/custom support a
+        split Template_opt sequence then optimizes like one long call at ~1
+        eval per step."""
         tmpl_alpha = getattr(self, "_tmpl_alpha", [None] * self.S)
+        tmpl_mem = getattr(self, "_tmpl_mem", None) or [None] * self.S
+        tmpl_vg = getattr(self, "_tmpl_vg", None) or [None] * self.S
         for s in range(self.S):
             ylo, yhi, xlo, xhi = self.slices[s]
             w0s = (self.w0[s] if self.template_weights
@@ -600,21 +626,42 @@ class DiffPSRStd(MultiPSRStd):
             if tmpl_alpha[s] is None:
                 # cold sentinel: lbfgs_optimize seeds at ~1/||g0|| for free
                 tmpl_alpha[s] = jnp.zeros((), jnp.float32)
-            ys, ws, loss, n_steps, als = _template_opt_std(
+            mem0 = None
+            if carry_memory:
+                mem0 = tmpl_mem[s]
+                if mem0 is None:
+                    n = self.y0[s].size + (w0s.size
+                                           if self.template_weights else 0)
+                    mem0 = lbfgs_zero_memory(n)
+            vg0 = tmpl_vg[s] if carry_value else None
+            ys, ws, loss, n_steps, als, mem, vg = _template_opt_std(
                 self.lcfg, self.q0, self.a0,
                 self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
                 self.y0[s], w0s,
                 self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
                 self.template_weights, alpha0=tmpl_alpha[s],
-                inner=inner, ls_steps=ls_steps,
+                inner=inner, ls_steps=ls_steps, mem0=mem0, vg0=vg0,
             )
             tmpl_alpha[s] = als
             self._tmpl_alpha = tmpl_alpha
+            if carry_memory:
+                tmpl_mem[s] = mem
+            tmpl_vg[s] = vg
+            self._tmpl_mem = tmpl_mem
+            self._tmpl_vg = tmpl_vg
             self.y0[s] = ys
             if self.template_weights:
                 self.w0[s] = ws
 
             self.update_state_after_template(s)
+            # dense/decim support follow-up re-projects momenta and nulls
+            # the carried template state on self — resync the locals so the
+            # next structure (and the final store) cannot resurrect stale
+            # entries
+            if getattr(self, "_tmpl_mem", None) is None:
+                tmpl_mem = [None] * self.S
+            if getattr(self, "_tmpl_vg", None) is None:
+                tmpl_vg = [None] * self.S
             if self.printstuff:
                 print(
                     f"Template {s} : {int(n_steps)} optim steps, "

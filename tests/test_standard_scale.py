@@ -189,3 +189,43 @@ def test_stepwise_carry_value_std(rng):
     assert psr._reg_vg is None
     psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8, carry_value=True)
     assert psr.e_increase_events == 0
+
+
+def test_template_opt_carry_grid_and_dense_invalidation(rng):
+    """Template_opt carry_memory/carry_value: with GRID support the
+    objective is unchanged between split template calls (q0/a0 fixed), so
+    threaded splits stay monotone and match the unthreaded trajectory; any
+    Reg_opt drops the value pair; DENSE support moves q0 with the template
+    and must drop everything."""
+    es = {}
+    for cv in (False, True):
+        psr = _make_psr(np.random.default_rng(11), support="grid")
+        seq = []
+        for _ in range(2):
+            for _ in range(2):
+                psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8,
+                                 carry_memory=cv, carry_value=cv)
+                seq.append(psr.E)
+            psr.Reg_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8)
+            seq.append(psr.E)
+            if cv:
+                assert psr._tmpl_vg is None  # a0 moved
+        assert psr.e_increase_events == 0
+        es[cv] = seq
+    # threading must not change the first split (cold) and keeps the whole
+    # trajectory monotone; exact-match is not required once the carried
+    # memory deepens the quasi-Newton state (it may legitimately descend
+    # FASTER than fresh-memory calls)
+    assert es[True][0] == pytest.approx(es[False][0], rel=1e-6)
+    assert es[True][-1] <= es[False][-1] + 1e-3 * abs(es[False][-1])
+
+    # dense support: the follow-up moves q0 with the template — carried
+    # template state must not survive
+    psr = _make_psr(np.random.default_rng(11))
+    psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8,
+                     carry_memory=True, carry_value=True)
+    assert psr._tmpl_vg is None or all(v is None for v in psr._tmpl_vg)
+    assert psr._tmpl_mem is None or all(m is None for m in psr._tmpl_mem)
+    psr.Template_opt(nmax=1, tol=1e-3, inner=3, ls_steps=8,
+                     carry_memory=True, carry_value=True)
+    assert psr.e_increase_events == 0
