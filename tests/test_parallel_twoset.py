@@ -203,3 +203,52 @@ def test_sharded_reg_loss_compiles_at_1m_points():
     fn = jax.jit(jax.value_and_grad(loss))
     compiled = fn.lower(vec, vec, vec, msk, msk, scl).compile()
     assert compiled is not None
+
+
+def test_twoset_step_carry_memory_monotone_and_better():
+    """r4: carry_memory threads the sharded L-BFGS curvature memory across
+    twoset steps (the EM drift tolerance of DiffPSR.run(carry_memory) on
+    the SPMD path) and the best-eval aux replaced the final re-shoot.
+    Oracle: monotone FE, and the carried sequence reaches at-least-as-good
+    FE at an identical budget."""
+    spiral = np.load(os.path.join(HERE, "goldens", "spiral.npz"))
+    x_all = np.concatenate([spiral[f"x{k}"] for k in range(3)], 0)
+    n = (x_all.shape[0] // 8) * 8
+    q0 = jnp.asarray(x_all[:n], jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    a0 = jnp.zeros_like(q0)
+    gstate = gmm_mod.GMMState(
+        mu=jnp.asarray(spiral["mu0"]) + 0.01,
+        w=jnp.zeros(20),
+        sigma=jnp.asarray(0.1),
+        eta0=jnp.asarray(0.0),
+        vol0=jnp.asarray(0.0),
+    )
+    gcfg = gmm_mod.GMMConfig()
+    lcfg = lddmm_mod.make_config(sigma=0.2, lambd=500.0, version="hybrid",
+                                 nt=3, scheme="Euler")
+    mesh = make_mesh(8, axis="points")
+    kw = dict(em_iters=3, reg_nmax=1, reg_inner=4, reg_ls=8, tol=1e-3)
+
+    from difficp_tpu.parallel.twoset import zero_twoset_memory
+
+    fes = {}
+    for cm in (False, True):
+        step = make_twoset_step(gcfg, lcfg, mesh, ring_tile=32,
+                                carry_memory=cm, **kw)
+        st, a, x1 = gstate, a0, q0
+        al = jnp.zeros((), jnp.float32)
+        mem = zero_twoset_memory(a0) if cm else None
+        seq = []
+        for _ in range(3):
+            if cm:
+                out = step(st, q0, a, x1, mask, al, mem)
+                mem = out.memory
+                assert mem is not None
+            else:
+                out = step(st, q0, a, x1, mask, al)
+            st, a, x1, al = out.gmm, out.a0, out.x1, out.alpha
+            seq.append(float(out.fe))
+        assert all(b <= a_ + 1e-3 * abs(a_) for a_, b in zip(seq, seq[1:]))
+        fes[cm] = seq
+    assert fes[True][-1] <= fes[False][-1] + 1e-3 * abs(fes[False][-1])
