@@ -94,23 +94,35 @@ class AtlasStepOut(NamedTuple):
     fe: jax.Array
     regloss: jax.Array
     quadloss: jax.Array
+    alpha: any = None   # (K,) accepted line-search step sizes — thread back
+    #   as the next step's ``alpha0`` (zeros = cold 1/||g0|| seeding)
+    memory: any = None  # per-frame batched LBFGSMemory (``carry_memory``):
+    #   thread back as ``mem0`` so split steps keep quasi-Newton state
 
 
 def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
                           mesh: Mesh, axis: str = "frames",
                           em_iters: int = 5, reg_nmax: int = 1,
-                          tol: float = 1e-3, use_ext: bool = True):
+                          tol: float = 1e-3, use_ext: bool = True,
+                          reg_inner: int = 20, reg_ls: int = 25,
+                          carry_memory: bool = False, memory_size: int = 10):
     """Build the jitted one-iteration atlas training step over the mesh.
 
     One call = [em_iters EM steps on all frames' warped points] then [one
     vmapped L-BFGS registration pass per frame] — the body of the reference's
     outer loop (ICP_atlas.py:269-298), fully on-device.
+
+    The step threads per-frame warm-start step sizes: pass ``alpha0``
+    (zeros = cold) and feed ``out.alpha`` back in.  With ``carry_memory``
+    it also takes/returns the per-frame batched curvature memory
+    (``zero_atlas_memory`` for step 0) — the same split-call quasi-Newton
+    persistence as the single-chip ``DiffPSR.run(carry_memory=True)``.
     """
 
-    def reg_local(gstate, q0l, a0l, x0l, yl, qml, xml, ptwl):
+    def reg_local(gstate, q0l, a0l, x0l, yl, qml, xml, ptwl, all_, meml):
         sig2 = gstate.sigma ** 2
 
-        def one(q0k, a0k, x0k, yk, qmk, xmk, wk):
+        def one(q0k, a0k, x0k, yk, qmk, xmk, wk, alk, memk):
             def dataloss(pts):
                 # gammaT inlier weight, matching the single-device quadloss
                 # (models/psr.py _quadloss; GMM.py:323)
@@ -122,11 +134,15 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
                 xmk if use_ext else None, nmax=reg_nmax, tol=tol,
+                inner=reg_inner, max_linesearch_steps=reg_ls,
+                alpha0=alk, memory0=memk if carry_memory else None,
             )
             x1k = res.final.x if use_ext else res.final.q
-            return res.p0, x1k, res.trajl, res.datal
+            return (res.p0, x1k, res.trajl, res.datal, res.alpha,
+                    res.memory if carry_memory else jnp.zeros((),
+                                                              jnp.float32))
 
-        return jax.vmap(one)(q0l, a0l, x0l, yl, qml, xml, ptwl)
+        return jax.vmap(one)(q0l, a0l, x0l, yl, qml, xml, ptwl, all_, meml)
 
     def em_local(gstate, x1l, xml):
         k_loc, n, d = x1l.shape
@@ -148,35 +164,59 @@ def make_atlas_train_step(gcfg: gmm_mod.GMMConfig, lcfg: lddmm_mod.LDDMMConfig,
             out.gamt.reshape(k_loc, n),
         )
 
-    def step(gstate, q0, a0, x0, x1, qmask, xmask):
-        def local(gstate, q0l, a0l, x0l, x1l, qml, xml):
+    def step(gstate, q0, a0, x0, x1, qmask, xmask, alpha0, mem0):
+        def local(gstate, q0l, a0l, x0l, x1l, qml, xml, all_, meml):
             gstate, yl, cfe, ptwl = em_local(gstate, x1l, xml)
-            a0l, x1l, trajl, datal = reg_local(
-                gstate, q0l, a0l, x0l, yl, qml, xml, ptwl
+            a0l, x1l, trajl, datal, all_, meml = reg_local(
+                gstate, q0l, a0l, x0l, yl, qml, xml, ptwl, all_, meml
             )
             quad = jax.lax.psum(jnp.sum(datal), axis)
             regl = jax.lax.psum(jnp.sum(trajl), axis)
             fe = cfe + quad + regl
-            return gstate, a0l, x1l, yl, cfe, fe, trajl, datal
+            return gstate, a0l, x1l, yl, cfe, fe, trajl, datal, all_, meml
 
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(axis),
+                       P(axis), P(axis), P(axis)),
             check_vma=False,
-        )(gstate, q0, a0, x0, x1, qmask, xmask)
+        )(gstate, q0, a0, x0, x1, qmask, xmask, alpha0, mem0)
 
-    @jax.jit
-    def train_step(gstate, q0, a0, x0, x1, qmask, xmask) -> AtlasStepOut:
-        gstate, a0, x1, y, cfe, fe, regloss, quadloss = step(
-            gstate, q0, a0, x0, x1, qmask, xmask
-        )
+    def _train(gstate, q0, a0, x0, x1, qmask, xmask, alpha0,
+               mem0) -> AtlasStepOut:
+        (gstate, a0, x1, y, cfe, fe, regloss, quadloss, alpha,
+         mem) = step(gstate, q0, a0, x0, x1, qmask, xmask, alpha0, mem0)
         return AtlasStepOut(
             gmm=gstate, a0=a0, x1=x1, y=y, cfe=cfe, fe=fe,
-            regloss=regloss, quadloss=quadloss,
+            regloss=regloss, quadloss=quadloss, alpha=alpha,
+            memory=mem if carry_memory else None,
         )
 
+    if carry_memory:
+        return jax.jit(_train)
+
+    @jax.jit
+    def train_step(gstate, q0, a0, x0, x1, qmask, xmask,
+                   alpha0=None) -> AtlasStepOut:
+        if alpha0 is None:
+            alpha0 = jnp.zeros((a0.shape[0],), jnp.float32)
+        # dummy per-frame scalar keeps the vmap/shard_map operand uniform
+        mem0 = jnp.zeros((a0.shape[0],), jnp.float32)
+        return _train(gstate, q0, a0, x0, x1, qmask, xmask, alpha0, mem0)
+
     return train_step
+
+
+def zero_atlas_memory(a0, memory_size: int = 10):
+    """Per-frame batched empty curvature memory for the frame-sharded atlas
+    step (the ``mem0`` of step 0 with ``carry_memory=True``)."""
+    from difficp_tpu.utils.lbfgs import zero_memory
+
+    k, n = a0.shape[0], a0[0].size
+    return jax.vmap(lambda _: zero_memory(n, memory_size, a0.dtype))(
+        jnp.arange(k))
 
 

@@ -166,3 +166,61 @@ def test_ring_shoot_matches_single_device():
                                atol=1e-5)
     np.testing.assert_allclose(float(cost), float(final.cost), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_atlas_step_alpha_and_memory_threading():
+    """r4: the frame-sharded atlas step threads per-frame warm-start step
+    sizes and (carry_memory) the batched curvature memory across steps —
+    monotone FE, and the carried sequence reaches at-least-as-good FE at an
+    identical budget (the single-chip run(carry_memory=True) parity)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from difficp_tpu.models import gmm as gmm_mod
+    from difficp_tpu.models import lddmm as lddmm_mod
+    from difficp_tpu.parallel.atlas import (
+        make_atlas_train_step, make_mesh, zero_atlas_memory,
+    )
+
+    rng = np.random.default_rng(5)
+    k, n, c, d = 8, 24, 5, 2
+    x = jnp.asarray(rng.normal(size=(k, n, d)), jnp.float32)
+    mask = jnp.ones((k, n), jnp.float32)
+    gstate = gmm_mod.GMMState(
+        mu=jnp.asarray(rng.normal(size=(c, d)), jnp.float32),
+        w=jnp.zeros((c,), jnp.float32),
+        sigma=jnp.asarray(0.5, jnp.float32),
+        eta0=jnp.asarray(0.0, jnp.float32),
+        vol0=jnp.asarray(0.0, jnp.float32),
+    )
+    gcfg = gmm_mod.GMMConfig()
+    lcfg = lddmm_mod.make_config(sigma=0.5, lambd=100.0, version="hybrid",
+                                 nt=3, scheme="Euler")
+    mesh = make_mesh(8)
+    fsh = NamedSharding(mesh, P("frames"))
+    x = jax.device_put(x, fsh)
+    mask = jax.device_put(mask, fsh)
+
+    fes = {}
+    for cm in (False, True):
+        step = make_atlas_train_step(
+            gcfg, lcfg, mesh, em_iters=2, reg_nmax=1, use_ext=False,
+            reg_inner=3, reg_ls=8, carry_memory=cm, memory_size=4,
+        )
+        a0 = jax.device_put(jnp.zeros_like(x), fsh)
+        st, x1 = gstate, x
+        al = jnp.zeros((k,), jnp.float32)
+        mem = zero_atlas_memory(a0, 4) if cm else None
+        seq = []
+        for _ in range(3):
+            if cm:
+                out = step(st, x, a0, x, x1, mask, mask, al, mem)
+                mem = out.memory
+            else:
+                out = step(st, x, a0, x, x1, mask, mask, al)
+            st, a0, x1, al = out.gmm, out.a0, out.x1, out.alpha
+            seq.append(float(out.fe))
+        assert all(np.isfinite(seq))
+        assert all(b <= a_ + 1e-3 * abs(a_) for a_, b in zip(seq, seq[1:]))
+        fes[cm] = seq
+    assert fes[True][-1] <= fes[False][-1] + 1e-3 * abs(fes[False][-1])
