@@ -49,6 +49,12 @@ def default_numerical_options(numerical_options: Optional[dict]) -> dict:
     # faster); "accurate" = blockwise-VJP backward (f32-exact).  Only
     # affects the Pallas backend's gradients at scale.
     set_default(opts, "backward_precision", "fast")
+    # thread each frame's L-BFGS curvature memory across the outer
+    # iterations' Reg_opt calls (quasi-Newton persistence; the EM targets
+    # drift slowly so the carried pairs stay informative — measured ~9x
+    # larger FE decrease per call at 131k).  Default off = the reference's
+    # fresh-torch-LBFGS-per-call semantics.
+    set_default(opts, "carry_memory_LDDMM", False)
     apply_computversion(opts["computversion"])
     backend_mod.set_bwd_precision(opts["backward_precision"])
     return opts

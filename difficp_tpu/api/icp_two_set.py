@@ -116,7 +116,11 @@ def icp_two_set(
         psr.GMM_opt(max_iterations=optim_options["max_repeat_GMM"], tol=tol)
         if callback_function is not None:
             callback_function(psr, True)
-        psr.Reg_opt(tol=tol, nmax=1 if not is_diff else 10)
+        if is_diff:
+            psr.Reg_opt(tol=tol, nmax=10,
+                        carry_memory=numerical_options["carry_memory_LDDMM"])
+        else:
+            psr.Reg_opt(tol=tol, nmax=1)
         if callback_function is not None:
             callback_function(psr, False)
 

@@ -106,7 +106,8 @@ def standard_atlas(
         if not (it == 1 and optim_options["start_by_template_opt"]):
             if printstuff:
                 print("Updating diffeomorphisms (all frames in lockstep).")
-            psr.Reg_opt(nmax=1, tol=tol)
+            psr.Reg_opt(nmax=1, tol=tol,
+                        carry_memory=numerical_options["carry_memory_LDDMM"])
         if callback_function is not None:
             callback_function(psr, False)
         if printstuff:

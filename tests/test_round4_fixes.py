@@ -147,3 +147,23 @@ def test_carry_value_stepwise_matches_plain_and_invalidates(spiral_frames):
     psr.Reg_opt(tol=1e-3, nmax=1, inner=2, ls_steps=8, carry_memory=True,
                 carry_value=True)
     assert psr._reg_vg is not None
+
+
+def test_api_carry_memory_option(spiral_frames):
+    """numerical_options['carry_memory_LDDMM'] reaches Reg_opt: the atlas
+    run stays monotone and threads a populated memory."""
+    from difficp_tpu.api.icp_atlas import icp_atlas
+
+    psr, _ = icp_atlas(
+        spiral_frames,
+        GMM_parameters={"init_components": ("set", 0)},
+        registration_parameters={"type": "diffeomorphic",
+                                 "sigma_LDDMM": 0.2,
+                                 "lambda_LDDMM": 500.0},
+        numerical_options={"integration_nt_LDDMM": 5,
+                           "carry_memory_LDDMM": True},
+        optim_options={"max_iterations": 2},
+        printstuff=False,
+    )
+    assert psr.fe_increase_events == 0
+    assert psr._reg_memory is not None
