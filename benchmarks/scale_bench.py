@@ -75,11 +75,17 @@ def bench_rhs():
     return out
 
 
-def bench_atlas(k=10, n=16384, n_iter=3):
+def bench_atlas(k=10, n=16384, n_iter=3, carry=False):
     """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
     single program executions running much beyond ~60 s, so at scale each
     partial step is its own (short) program; the pallas fwd+bwd kernels keep
-    every Reg_opt call well under that."""
+    every Reg_opt call well under that.
+
+    ``carry=True`` (r4): the split Reg_opt calls thread the L-BFGS curvature
+    memory AND the previous call's (loss, gradient, arrival) — the second
+    call of each iteration skips its entry value+grad entirely (the EM
+    update before the first call invalidates the carried pair, so that one
+    re-evaluates as it must)."""
     import jax
     import jax.numpy as jnp
 
@@ -111,25 +117,88 @@ def bench_atlas(k=10, n=16384, n_iter=3):
         # short registration programs: the axon runtime kills device
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4,
+                    carry_memory=carry, carry_value=carry)
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=4,
+                    carry_memory=carry, carry_value=carry)
 
     t0 = time.time()
     one_iter()
     print(f"atlas compile+first iter: {time.time()-t0:.1f}s FE={psr.FE:.1f}",
           flush=True)
 
+    fe0 = psr.FE
     t0 = time.time()
     for _ in range(n_iter):
         one_iter()
     dt = (time.time() - t0) / n_iter
     frames_per_s = k / dt
     print(
-        f"atlas K={k} x N={n}: {dt:.2f} s/outer-iter -> "
-        f"{frames_per_s:.2f} frames/s per iteration", flush=True,
+        f"atlas K={k} x N={n} (carry={carry}): {dt:.2f} s/outer-iter -> "
+        f"{frames_per_s:.2f} frames/s per iteration; FE {fe0:.1f} -> "
+        f"{psr.FE:.1f}, increases={psr.fe_increase_events}", flush=True,
     )
-    return {"K": k, "N": n, "s_per_iter": round(dt, 2),
-            "frames_per_s_iter": round(frames_per_s, 2)}
+    return {"K": k, "N": n, "carry": carry, "s_per_iter": round(dt, 2),
+            "frames_per_s_iter": round(frames_per_s, 2),
+            "FE": round(psr.FE, 1), "increases": psr.fe_increase_events}
+
+
+def bench_std2(k=10, n=16384, ny=1024, n_iter=3):
+    """r4: within-phase carry threading on the std atlas.  At dense support
+    the template IS the support, so every Template_opt invalidates the reg
+    carries (momenta re-projection) and vice versa — the threading only
+    lives BETWEEN the watchdog-split calls of one phase.  Schedule
+    [Reg_opt x2, Template_opt x1] per outer iteration, measured twice in one
+    process: plain, then with carry_memory+carry_value (the second Reg call
+    of each iteration skips its entry value+grad and keeps its curvature
+    pairs)."""
+    import jax.numpy as jnp
+
+    from difficp_tpu.models import lddmm
+    from difficp_tpu.models.psr_standard import DiffPSRStd
+
+    rng = np.random.default_rng(0)
+    base_t = rng.uniform(0, 2 * np.pi, size=(k, n)).astype(np.float32)
+    x = []
+    for kk in range(k):
+        t = base_t[kk]
+        pts = np.stack([
+            0.5 + 0.4 * (t / 7) * np.cos(t), 0.5 + 0.3 * np.sin(t)
+        ], 1) + 0.02 * rng.normal(size=(n, 2))
+        x.append(pts.astype(np.float32))
+    tpl = x[0][rng.integers(0, n, ny)] + 0.01 * rng.normal(size=(ny, 2)).astype(np.float32)
+
+    lcfg = lddmm.make_config(sigma=0.2, lambd=2.0, version="classic",
+                             nt=10, scheme="Euler")
+    psr = DiffPSRStd(x, tpl.astype(np.float32), noise_std=0.2, lcfg=lcfg,
+                     data_sigma=0.1)
+    psr.printstuff = False
+    out = {"K": k, "N": n, "Ny": ny}
+
+    for carry in (False, True):
+        def one_iter():
+            psr.Reg_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12,
+                        carry_memory=carry, carry_value=carry)
+            psr.Reg_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12,
+                        carry_memory=carry, carry_value=carry)
+            psr.Template_opt(nmax=1, tol=1e-3, inner=4, ls_steps=12)
+
+        t0 = time.time()
+        one_iter()
+        print(f"std2 carry={carry} compile+first iter: {time.time()-t0:.1f}s "
+              f"E={psr.E:.4f}", flush=True)
+        e0 = psr.E
+        t0 = time.time()
+        for _ in range(n_iter):
+            one_iter()
+        dt = (time.time() - t0) / n_iter
+        tag = "carry" if carry else "plain"
+        print(f"std2[{tag}] K={k} x N={n}: {dt:.2f} s/outer-iter "
+              f"(Reg x2 + Tmpl x1), E {e0:.4f} -> {psr.E:.4f}, "
+              f"increases={psr.e_increase_events}", flush=True)
+        out[tag] = {"s_per_iter": round(dt, 2), "E": round(psr.E, 4),
+                    "increases": psr.e_increase_events}
+    return out
 
 
 def bench_std(k=10, n=16384, ny=1024, n_iter=3):
@@ -411,8 +480,15 @@ if __name__ == "__main__":
         res["rhs"] = bench_rhs()
     if which in ("all", "atlas"):
         res["atlas"] = bench_atlas()
+    if which == "atlas_carry":
+        res["atlas_carry"] = bench_atlas(carry=True)
+    if which == "atlas2":  # plain then carried, one process (shared compiles)
+        res["atlas"] = bench_atlas()
+        res["atlas_carry"] = bench_atlas(carry=True)
     if which in ("all", "std"):
         res["std"] = bench_std()
+    if which == "std2":
+        res["std2"] = bench_std2()
     if which == "phases":
         m = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
         res["phases"] = bench_phases(m)
