@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from difficp_tpu.ops import backend as red
 from difficp_tpu.ops.solvers import (
-    kpinv_solve, kridge_solve, kridge_solve_cg, svd_pow,
+    kpinv_solve, kridge_solve, kridge_solve_cg, rff_gaussian_field, svd_pow,
 )
 from difficp_tpu.utils.integrators import integrate
 from difficp_tpu.utils.lbfgs import lbfgs_optimize, seed_alpha_for
@@ -288,23 +288,46 @@ def v2p(cfg: LDDMMConfig, q, v_target, rcond=1e-3, alpha=1e-4,
 
 
 def random_p(cfg: LDDMMConfig, q, key, rcond=1e-3, alpha=1e-4,
-             version: str = "svd", qmask=None):
+             version: str = "svd", qmask=None, n_features=2048,
+             cg_tol=1e-6, cg_maxiter=500):
     """Sample momenta from the Bayesian prior P(p) ~ exp(-lambda H(q, p))
     (LDDMM.py:257-280).  Only for eta == 0, like the reference.
 
-    Requires a dense matrix root of K(q, q): O(M^2) memory / O(M^3) compute
-    (same wall as the reference's SVD/Cholesky, LDDMM.py:272-279) — guarded
-    so a large-M call fails with an actionable message instead of OOMing."""
+    'svd' / 'ridge' require a dense matrix root of K(q, q): O(M^2) memory /
+    O(M^3) compute (same wall as the reference's SVD/Cholesky,
+    LDDMM.py:272-279).  Above the dense pair limit, 'ridge' auto-routes to
+    'rff_cg' — pathwise sampling (Wilson et al. 2020 style): draw
+    u ~ N(0, K + alpha I) as an O(M * F) random-Fourier-feature field plus
+    sqrt(alpha) * white noise, then p = (K + alpha I)^{-1} u / sqrt(lambda)
+    by matrix-free CG (kernel matvec via the dispatched kernel-sum), giving
+    Cov(p) = (K + alpha I)^{-1} / lambda — the same distribution as 'ridge',
+    up to the O(1/sqrt(n_features)) RFF covariance error.  'svd' has no
+    matrix-free analog (its pseudo-inverse cutoff is spectral) and raises."""
     if cfg.eta != 0.0:
         raise NotImplementedError("random_p requires gradcomponent=False")
     m = q.shape[0]
+    if m * m > red.DENSE_PAIR_LIMIT and version == "ridge":
+        version = "rff_cg"
+    if version == "rff_cg":
+        kf, kxi = jax.random.split(key)
+        f = rff_gaussian_field(q, cfg.sigma, kf, q.shape[1],
+                               n_features=n_features)
+        xi = jax.random.normal(kxi, q.shape, q.dtype)
+        u = f + jnp.sqrt(alpha) * xi
+        if qmask is not None:
+            u = u * qmask[:, None]
+        p = kridge_solve_cg(q, u, cfg.sigma, alpha=alpha, mask=qmask,
+                            tol=cg_tol, maxiter=cg_maxiter)
+        return p / jnp.sqrt(cfg.lambd)
     if m * m > red.DENSE_PAIR_LIMIT:
         raise ValueError(
-            f"random_p needs a dense (M, M) kernel matrix root; M={m} is "
-            f"above the dense pair limit ({red.DENSE_PAIR_LIMIT} pairs). "
-            "Sample on a decimated/grid support set instead (the prior is "
-            "an RKHS prior — a coarse support spans the same fields), or "
-            "raise DIFFICP_DENSE_PAIR_LIMIT explicitly."
+            f"random_p version='{version}' needs a dense (M, M) kernel "
+            f"matrix root; M={m} is above the dense pair limit "
+            f"({red.DENSE_PAIR_LIMIT} pairs). Use version='rff_cg' (matrix-"
+            "free pathwise sampling, same distribution as 'ridge'), sample "
+            "on a decimated/grid support set (the prior is an RKHS prior — "
+            "a coarse support spans the same fields), or raise "
+            "DIFFICP_DENSE_PAIR_LIMIT explicitly."
         )
     d2 = jnp.sum((q[:, None, :] - q[None, :, :]) ** 2, axis=-1)
     k = jnp.exp(-d2 / (2.0 * cfg.sigma**2))

@@ -76,6 +76,26 @@ def kridge_solve(q, v, sigma, alpha=1e-4, mask=None):
     return sol
 
 
+def rff_gaussian_field(q, sigma, key, n_cols, n_features=2048):
+    """Draw f of shape (M, n_cols): each column an independent sample of a
+    Gaussian field with Cov(f_i, f_j) ~= K_ij = exp(-|q_i - q_j|^2 / 2 sigma^2)
+    — random Fourier features (Rahimi & Recht 2007), O(M * F) compute and
+    memory, never materializing the (M, M) Gram matrix.
+
+    Bochner: K(x, y) = E_w[cos(w . (x - y))] with w ~ N(0, I / sigma^2);
+    phi_f(x) = sqrt(2/F) cos(w_f . x + b_f), b ~ U[0, 2 pi), gives
+    E_{w,b}[phi(x) . phi(y)] = K(x, y), so f = Phi @ gamma with
+    gamma ~ N(0, I_F) has covariance Phi Phi^T whose expectation is K.
+    The approximation error is O(1 / sqrt(n_features)) in each entry."""
+    m, d = q.shape
+    kw, kb, kg = jax.random.split(key, 3)
+    w = jax.random.normal(kw, (n_features, d), q.dtype) / sigma
+    b = jax.random.uniform(kb, (n_features,), q.dtype, 0.0, 2.0 * jnp.pi)
+    gamma = jax.random.normal(kg, (n_features, n_cols), q.dtype)
+    phi = jnp.sqrt(2.0 / n_features) * jnp.cos(q @ w.T + b[None, :])
+    return phi @ gamma
+
+
 def kridge_solve_cg(q, v, sigma, alpha=1e-4, mask=None, tol=1e-6,
                     maxiter=500, tile=1024):
     """Matrix-free ridge solve (K + alpha I) b = v via conjugate gradients
