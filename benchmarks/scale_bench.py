@@ -27,7 +27,7 @@ def sync_read(x):
     return float(jnp.sum(x))
 
 
-def bench_rhs():
+def bench_rhs(dim=2):
     import jax
     import jax.numpy as jnp
 
@@ -36,8 +36,8 @@ def bench_rhs():
     rng = np.random.default_rng(0)
     out = {}
     for m in (16384, 65536, 131072):
-        q = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
-        p = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(m, dim)), jnp.float32)
+        p = jnp.asarray(rng.normal(size=(m, dim)), jnp.float32)
         mask = jnp.ones((m,), jnp.float32)
         op = make_rhs_self(0.2, 0.0, True, ti=256, tj=512)
         fwd = jax.jit(op)
@@ -69,9 +69,9 @@ def bench_rhs():
                          "Gpairs_per_s": round(gpairs, 1),
                          "bwd_ms_per_call": round(dtb * 1e3, 3),
                          "bwd_Gpairs_per_s": round(gpairs_b, 1)}
-        print(f"pallas fused RHS M={m}: fwd {dt*1e3:.2f} ms -> {gpairs:.0f} "
-              f"Gpair/s | bwd {dtb*1e3:.2f} ms -> {gpairs_b:.0f} Gpair/s",
-              flush=True)
+        print(f"pallas fused RHS M={m} D={dim}: fwd {dt*1e3:.2f} ms -> "
+              f"{gpairs:.0f} Gpair/s | bwd {dtb*1e3:.2f} ms -> "
+              f"{gpairs_b:.0f} Gpair/s", flush=True)
     return out
 
 
@@ -478,6 +478,8 @@ if __name__ == "__main__":
     res = {}
     if which in ("all", "rhs"):
         res["rhs"] = bench_rhs()
+    if which == "rhs3d":
+        res["rhs3d"] = bench_rhs(dim=3)
     if which in ("all", "atlas"):
         res["atlas"] = bench_atlas()
     if which == "atlas_carry":
