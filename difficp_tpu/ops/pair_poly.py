@@ -34,9 +34,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from difficp_tpu.ops.pallas_ksum import pairwise_ksum
+from difficp_tpu.ops.pallas_ksum import pairwise_ksum, pairwise_ksum_sym
 
 _EPS = 1e-30
+
+# Self evaluations switch to the SYMMETRIC generic kernel (each unordered
+# tile pair's exp computed once, pallas_ksum.pairwise_ksum_sym) above this
+# many points — below it the dual-table + block-pair fixed cost outweighs
+# the halved exp work (same crossover as the hand-written eta == 0
+# symmetric kernels, pallas_reductions._SYM_BWD_MIN_M).
+_SYM_MIN_M = 32768
+# ... and only while the union payload table is narrow enough that the
+# kernel stays exp-bound: past this the MXU contraction dominates and the
+# symmetric pass saves nothing (it also busts the dual-accumulator VMEM
+# budget).  d=2 any-eta bwd = 121 cols rides it; d=3 any-eta bwd (333) not.
+_SYM_MAX_COLS = 192
 
 
 class BP:
@@ -130,28 +142,56 @@ def _dot_bp(a, b):
     return out
 
 
-def eval_polys(polys, x, y, row_vals, col_vals, sigma, ti=256, tj=512):
+def _sym_table(cms, x, col_vals, sigma, t):
+    """Evaluate the union kernel-sum table through the SYMMETRIC generic
+    kernel (self set: rows == cols == ``x``).  Requires every col monomial
+    to carry the binary mask variable ``m`` at least once (true of every
+    density in this module — each is built from the mm = m_i m_j factor);
+    the kernel multiplies each payload row by m exactly once, valid for
+    0/1 masks since m^k == m."""
+    nx, d = x.shape
+    coord = {f"q{e}" for e in range(d)}
+    names = [f"q{e}" for e in range(d)] + sorted(
+        {n for cm in cms for n in cm} - coord - {"m"}
+    )
+    row_of = {n: i for i, n in enumerate(names)}
+    var_rows = [col_vals[n] for n in names] + [col_vals["m"]]
+    monos = tuple(
+        tuple(row_of[n] for n in cm if n != "m") for cm in cms
+    )
+    assert all("m" in cm for cm in cms), cms
+    return pairwise_ksum_sym(var_rows, d, len(names), monos, sigma, t=t)
+
+
+def eval_polys(polys, x, y, row_vals, col_vals, sigma, ti=256, tj=512,
+               sym=False):
     """Evaluate {name: BP} as out[name]_i = sum_j k(x_i - y_j) P_ij.
 
     ``row_vals`` / ``col_vals``: {var: (Nx,) / (Ny,) array}.  ONE generic
     payload-matmul kernel call evaluates every polynomial at once (the
     union of their col-monomial tables), then a cheap jnp row-side
     recombination per output.  Masks must be encoded as polynomial
-    variables (no implicit mask here).
+    variables (no implicit mask here).  ``sym=True`` (valid ONLY when x is
+    y — a self evaluation) computes the table through the symmetric-pair
+    kernel: each unordered tile pair's exp evaluated once.
     """
     cms = sorted({cm for p in polys.values() for cm in p.col_monomials()})
     idx = {cm: i for i, cm in enumerate(cms)}
-    ny = y.shape[0]
-    one_c = jnp.ones((ny,), y.dtype)
+    if sym:
+        assert x is y, "sym=True requires a self evaluation (x is y)"
+        A = _sym_table(cms, x, col_vals, sigma, ti)  # (Nx, ncols)
+    else:
+        ny = y.shape[0]
+        one_c = jnp.ones((ny,), y.dtype)
 
-    def cval(cm):
-        v = one_c
-        for name in cm:
-            v = v * col_vals[name]
-        return v
+        def cval(cm):
+            v = one_c
+            for name in cm:
+                v = v * col_vals[name]
+            return v
 
-    table = jnp.stack([cval(cm) for cm in cms], axis=1)
-    A = pairwise_ksum(x, y, table, sigma, None, ti, tj)  # (Nx, ncols)
+        table = jnp.stack([cval(cm) for cm in cms], axis=1)
+        A = pairwise_ksum(x, y, table, sigma, None, ti, tj)  # (Nx, ncols)
 
     nx = x.shape[0]
     one_r = jnp.ones((nx,), x.dtype)
@@ -274,6 +314,11 @@ def _self_fwd_polys(d, sigma, eta, withlogdet):
     return _POLY_CACHE[key]
 
 
+def _use_sym(m, polys):
+    ncols = len({cm for p in polys.values() for cm in p.col_monomials()})
+    return m >= _SYM_MIN_M and ncols <= _SYM_MAX_COLS
+
+
 def rhs_self_fwd_poly(q, p, mask, sigma, eta, withlogdet, ti=256, tj=512):
     """(vq, Gq, dc) of the fused self RHS for any eta — payload-matmul
     forward generated from the same component densities as the backward
@@ -284,8 +329,9 @@ def rhs_self_fwd_poly(q, p, mask, sigma, eta, withlogdet, ti=256, tj=512):
     for e in range(d):
         vals[f"q{e}"] = q[:, e]
         vals[f"p{e}"] = p[:, e]
-    outs = eval_polys(_self_fwd_polys(d, sigma, eta, withlogdet), q, q,
-                      vals, vals, sigma, ti, tj)
+    polys = _self_fwd_polys(d, sigma, eta, withlogdet)
+    outs = eval_polys(polys, q, q, vals, vals, sigma, ti, tj,
+                      sym=_use_sym(m, polys))
     vq = jnp.stack([outs[f"vq{e}"] for e in range(d)], axis=1)
     gq = jnp.stack([outs[f"gq{e}"] for e in range(d)], axis=1)
     dc = jnp.sum(outs["dc"]) if withlogdet else jnp.zeros((), q.dtype)
@@ -371,8 +417,9 @@ def rhs_self_bwd_poly(q, p, mask, gv, gg, gc, sigma, eta, ti=256, tj=512):
         vals[f"p{e}"] = p[:, e]
         vals[f"g{e}"] = gv[:, e]
         vals[f"h{e}"] = gg[:, e]
-    outs = eval_polys(_self_bwd_polys(d, sigma, eta), q, q, vals, vals,
-                      sigma, ti, tj)
+    polys = _self_bwd_polys(d, sigma, eta)
+    outs = eval_polys(polys, q, q, vals, vals, sigma, ti, tj,
+                      sym=_use_sym(m, polys))
     dq = jnp.stack([outs[f"dq{e}"] for e in range(d)], axis=1)
     dp = jnp.stack([outs[f"dp{e}"] for e in range(d)], axis=1)
     return dq, dp

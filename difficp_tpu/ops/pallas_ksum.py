@@ -133,6 +133,146 @@ def pairwise_ksum(x, y, payloads, sigma, mask_y=None, ti=256, tj=512):
     return out[:ncols, :nx].T
 
 
+def _ksum_sym_pair_kernel(blka_ref, fullb_ref, sig_ref, ta_ref, tb_ref, *,
+                          d, t, nvars, mask_row, monos, rows_out,
+                          same_block):
+    """One block pair (a, b) of the GENERIC symmetric self kernel-sum.
+
+    Same 2-level decomposition as ``pallas_reductions.
+    _rhs_self_sym_pair_kernel`` (python-level unordered block pairs,
+    kernel-level unordered tile pairs; each (t, t) exp tile evaluated ONCE,
+    contracted against BOTH sides' payload tables), but the payload table is
+    built in-kernel from narrow variable rows by a STATIC monomial list —
+    one compiled kernel per polynomial family instead of per hand-derived
+    op.  Payload row c = m * prod(rows[r] for r in monos[c]); monomials
+    share partial products through a prefix cache (sorted tuples), so each
+    distinct prefix costs one VPU multiply per tile.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        tb_ref[...] = jnp.zeros_like(tb_ref)
+
+    sig = sig_ref[0, 0]
+    u = 1.0 / (sig * sig)
+
+    def read_side(ref, start):
+        rows = [ref[r, pl.ds(start, t)] for r in range(nvars)]
+        cache = {(): rows[mask_row]}
+
+        def mono_row(mono):
+            if mono not in cache:
+                cache[mono] = mono_row(mono[:-1]) * rows[mono[-1]]
+            return cache[mono]
+
+        prows = [mono_row(mn) for mn in monos]
+        zero = jnp.zeros((t,), jnp.float32)
+        prows.extend([zero] * (rows_out - len(monos)))
+        return jnp.stack(prows, axis=0), rows[:d]
+
+    pload_i, qi = read_side(blka_ref, i * t)
+    n_j = fullb_ref.shape[1] // t
+
+    def body(jt, acc):
+        j0 = jt * t
+        pload_j, qj = read_side(fullb_ref, j0)
+        d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
+        kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
+        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
+        if same_block:
+            off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
+        else:
+            off = jnp.float32(1.0)
+        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())))
+        tb_ref[:, pl.ds(j0, t)] += contrib * off
+        return acc
+
+    hi = i + 1 if same_block else n_j
+    acc = jax.lax.fori_loop(
+        0, hi, body, jnp.zeros((rows_out, t), jnp.float32)
+    )
+    ta_ref[...] = acc
+
+
+def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
+    """Generic SYMMETRIC self kernel-sum: A[c]_i = sum_j K(x_i - x_j) m_j
+    prod(var_rows[r][j] for r in monos[c]) -> (M, len(monos)), with each
+    unordered tile pair's exp tile computed once (halves the exp work — the
+    VPU roofline of every narrow-table kernel-sum).
+
+    ``var_rows``: list of (M,) f32 arrays; rows 0..d-1 MUST be the point
+    coordinates (they drive the distance), ``mask_row`` indexes the BINARY
+    0/1 mask row (it multiplies every payload row once — callers strip
+    ``m`` from the monomials, exact for binary masks since m^k == m).
+    ``monos``: static tuple of sorted tuples of row indices.
+
+    VMEM per pallas call = 2 narrow blocks + the (rows_out, mb) dual-side
+    accumulator; ``mb`` is sized to that budget, python-level block pairs
+    cover any M (same scheme as the hand-written symmetric-pair kernels).
+    """
+    m = var_rows[0].shape[0]
+    nvars = len(var_rows)
+    ncols = len(monos)
+    rows_out = -(-ncols // 8) * 8
+    if mb is None:
+        budget = (12 * 1024 * 1024) // 4
+        mb = budget // (rows_out + 2 * nvars)
+        mb = max(t, min(65536, (mb // t) * t))
+    else:
+        mb = max(t, (mb // t) * t)
+    mpad = -(-m // mb) * mb
+    packed = jnp.zeros((nvars, mpad), jnp.float32)
+    for r, v in enumerate(var_rows):
+        packed = packed.at[r, :m].set(v)
+    sig = jnp.reshape(jnp.asarray(sigma, jnp.float32), (1, 1))
+
+    nb = mpad // mb
+    tables = [jnp.zeros((rows_out, mb), jnp.float32) for _ in range(nb)]
+    for a in range(nb):
+        blk_a = packed[:, a * mb:(a + 1) * mb]
+        for b in range(a + 1):
+            blk_b = packed[:, b * mb:(b + 1) * mb]
+            kernel = functools.partial(
+                _ksum_sym_pair_kernel, d=d, t=t, nvars=nvars,
+                mask_row=mask_row, monos=monos, rows_out=rows_out,
+                same_block=(a == b),
+            )
+            ta, tb = pl.pallas_call(
+                kernel,
+                grid=(mb // t,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((rows_out, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_out, mb), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows_out, mb), jnp.float32),
+                    jax.ShapeDtypeStruct((rows_out, mb), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=_interpret(),
+            )(blk_a, blk_b, sig)
+            # ta: block-a rows' contributions from (i, j<=i [or all j])
+            # pairs; tb: the dual-side contributions to block b — for
+            # a == b that is the strict upper triangle of the same block
+            tables[a] = tables[a] + ta
+            tables[b] = tables[b] + tb
+    T = jnp.concatenate(tables, axis=1)
+    return T[:ncols, :m].T
+
+
 # ---------------------------------------------------------------------------
 # KRed / KRedScal (kernel.py:134-138) with hand-derived kernel-sum VJPs
 # ---------------------------------------------------------------------------

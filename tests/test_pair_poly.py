@@ -281,3 +281,77 @@ def test_make_rhs_ext_eta_poly_fwd_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(vx), np.asarray(vx_d),
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(float(dc), float(dc_d), rtol=1e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: generic SYMMETRIC-pair kernel-sum (pallas_ksum.pairwise_ksum_sym)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("eta", [0.0, 0.3])
+def test_sym_self_eval_matches_ordered(eta, monkeypatch):
+    """eval_polys(sym=True) == ordered evaluation for the generated self
+    fwd + bwd (the symmetric-pair kernel computes each unordered tile pair
+    once; same table, same epilogue)."""
+    import difficp_tpu.ops.pair_poly as PP
+
+    qc = Q - _mm_center(Q, MQ)
+    fwd_ref = PP.rhs_self_fwd_poly(qc, P, MQ, SIG, eta, True)
+    bwd_ref = PP.rhs_self_bwd_poly(qc, P, MQ, GV, GG, GC, SIG, eta)
+    monkeypatch.setattr(PP, "_SYM_MIN_M", 1)
+    fwd_s = PP.rhs_self_fwd_poly(qc, P, MQ, SIG, eta, True)
+    bwd_s = PP.rhs_self_bwd_poly(qc, P, MQ, GV, GG, GC, SIG, eta)
+    for a, b in zip(jax.tree_util.tree_leaves(fwd_ref),
+                    jax.tree_util.tree_leaves(fwd_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(bwd_ref),
+                    jax.tree_util.tree_leaves(bwd_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_sym_ksum_multiblock_and_mask_subset():
+    """pairwise_ksum_sym with forced tiny block/tile sizes (multi block-pair
+    decomposition) == the ordered generic kernel; zero-masked points
+    contribute nothing (masked == subset)."""
+    from difficp_tpu.ops.pallas_ksum import pairwise_ksum, pairwise_ksum_sym
+
+    x = np.asarray(Q)
+    m = np.asarray(MQ)
+    w = np.asarray(np.random.default_rng(7).normal(size=M)
+                   .astype(np.float32))
+    # monos over rows [x0, x1, w]: [m] -> (), [m*w] -> (2,), [m*x0*w] ...
+    monos = ((), (2,), (0, 2), (0, 1))
+    var_rows = [jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1]), jnp.asarray(w),
+                jnp.asarray(m)]
+    got = pairwise_ksum_sym(var_rows, 2, 3, monos, SIG, t=64, mb=128)
+
+    def col(mono):
+        v = m.copy()
+        for r in mono:
+            v = v * np.asarray(var_rows[r])
+        return v
+
+    table = jnp.asarray(np.stack([col(mn) for mn in monos], axis=1))
+    ref = pairwise_ksum(jnp.asarray(x), jnp.asarray(x), table, SIG, None,
+                        ti=64, tj=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # subset equivalence: drop the masked-out points entirely
+    keep = m > 0.5
+    var_rows_k = [jnp.asarray(np.asarray(v)[keep]) for v in var_rows]
+    got_k = pairwise_ksum_sym(var_rows_k, 2, 3, monos, SIG, t=64, mb=128)
+    np.testing.assert_allclose(np.asarray(got)[keep], np.asarray(got_k),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sym_gate_width_and_size():
+    """The sym dispatch stays off below the size gate and for over-wide
+    tables (d=3 any-eta backward: 333 columns, MXU-bound)."""
+    import difficp_tpu.ops.pair_poly as PP
+
+    assert not PP._use_sym(16384, PP._self_bwd_polys(2, 0.6, 0.3))
+    assert PP._use_sym(65536, PP._self_bwd_polys(2, 0.6, 0.3))
+    assert not PP._use_sym(65536, PP._self_bwd_polys(3, 0.6, 0.3))
+    assert PP._use_sym(65536, PP._self_fwd_polys(3, 0.6, 0.3, True))
