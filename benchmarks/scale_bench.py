@@ -75,7 +75,7 @@ def bench_rhs(dim=2):
     return out
 
 
-def bench_atlas(k=10, n=16384, n_iter=3, carry=False):
+def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40):
     """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
     single program executions running much beyond ~60 s, so at scale each
     partial step is its own (short) program; the pallas fwd+bwd kernels keep
@@ -103,7 +103,7 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False):
         ], 1) + 0.02 * rng.normal(size=(n, 2))
         x.append(pts.astype(np.float32))
 
-    mu0 = x[0][rng.integers(0, n, 40)]
+    mu0 = x[0][rng.integers(0, n, c)]
     state, _ = gmm.create(jnp.asarray(mu0))
     gcfg = gmm.GMMConfig()
     lcfg = lddmm.make_config(sigma=0.2, lambd=5e2, version="hybrid",
@@ -117,9 +117,9 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False):
         # short registration programs: the axon runtime kills device
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4,
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
                     carry_memory=carry, carry_value=carry)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=4,
+        psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
                     carry_memory=carry, carry_value=carry)
 
     t0 = time.time()
@@ -466,6 +466,53 @@ def bench_kernels3():
     return out
 
 
+def bench_kernels4(m=131072):
+    """Round-4 symmetric generated kernels: the any-eta self fwd/bwd
+    (pair_poly) through pairwise_ksum_sym (each unordered tile pair's exp
+    once) vs the ordered generic kernel, same data."""
+    import jax
+    import jax.numpy as jnp
+
+    import difficp_tpu.ops.pair_poly as PP
+    from difficp_tpu.ops.pallas_reductions import make_rhs_self
+
+    rng = np.random.default_rng(0)
+    out = {}
+    q = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(m, 2)), jnp.float32) * 0.3
+    mask = jnp.ones((m,), jnp.float32)
+    eta_op = make_rhs_self(0.2, 1.0 / 500.0, True)
+
+    def eloss(qq, pp):
+        vq, mgq, dc = eta_op(qq, pp, mask)
+        return jnp.sum(vq) + jnp.sum(mgq) + dc
+
+    def timed(fn, *args, n_calls=6, tag=""):
+        o = fn(*args)
+        sync_read(o[0] if isinstance(o, tuple) else o)
+        t0 = time.time()
+        for _ in range(n_calls):
+            o = fn(*args)
+        sync_read(o[0] if isinstance(o, tuple) else o)
+        dt = (time.time() - t0) / n_calls
+        g = m * m / dt / 1e9
+        print(f"{tag}: {dt*1e3:.2f} ms -> {g:.0f} Gpair/s", flush=True)
+        return round(dt * 1e3, 3), round(g, 1)
+
+    for name, gate in (("ordered", 1 << 40), ("sym", 32768)):
+        PP._SYM_MIN_M = gate
+        # fresh lambda per phase: jitting the SAME function object twice
+        # shares the trace cache, so the gate flip would never re-trace
+        # (the first three runs of this bench measured ordered twice)
+        fwd = jax.jit(lambda qq, pp, mm: eta_op(qq, pp, mm))
+        out[f"eta_fwd_{name}_ms"], out[f"eta_fwd_{name}_gpairs"] = timed(
+            fwd, q, p, mask, tag=f"eta!=0 fwd {name} M={m}")
+        ebwd = jax.jit(jax.grad(eloss, argnums=(0, 1)))
+        out[f"eta_bwd_{name}_ms"], out[f"eta_bwd_{name}_gpairs"] = timed(
+            ebwd, q, p, n_calls=4, tag=f"eta!=0 bwd {name} M={m}")
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
@@ -496,4 +543,10 @@ if __name__ == "__main__":
         res["phases"] = bench_phases(m)
     if which == "kernels3":
         res["kernels3"] = bench_kernels3()
+    if which == "kernels4":
+        m = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+        res["kernels4"] = bench_kernels4(m)
+    if which == "atlas65":  # K=10 frames x 65k points each (2.7 Tpair/iter)
+        res["atlas65"] = bench_atlas(k=10, n=65536, n_iter=2,
+                                     carry=True, inner=4)
     print(json.dumps(res))

@@ -60,8 +60,16 @@ def main(n_points=131072, n_iter=3, c_gmm=64, inner=None, ls_steps=25):
         # (inner kept small for the watchdog; full-depth line search — the
         # first step of each program needs many zoom evals against raw-sum
         # gradient scales, later steps reuse the accepted step)
+        # carry_memory: L-BFGS curvature pairs thread across the split
+        # programs (quasi-Newton steps instead of a steepest-descent crawl);
+        # carry_value: the accepted (loss, grad, arrival) of the previous
+        # program replaces the next one's mandatory entry evaluation — a
+        # full fwd+bwd shoot.  GMM_opt invalidates the carried value (the
+        # objective changed), so only the 2nd+ program of each outer
+        # iteration skips its entry eval.
         for _ in range(2):
-            psr.Reg_opt(tol=1e-3, nmax=1, inner=inner, ls_steps=ls_steps)
+            psr.Reg_opt(tol=1e-3, nmax=1, inner=inner, ls_steps=ls_steps,
+                        carry_memory=True, carry_value=True)
         print(f"iter {it}: {time.time() - t0:.1f}s FE={psr.FE:.1f}")
     return psr
 

@@ -38,16 +38,18 @@ from difficp_tpu.ops.pallas_ksum import pairwise_ksum, pairwise_ksum_sym
 
 _EPS = 1e-30
 
-# Self evaluations switch to the SYMMETRIC generic kernel (each unordered
-# tile pair's exp computed once, pallas_ksum.pairwise_ksum_sym) above this
-# many points — below it the dual-table + block-pair fixed cost outweighs
-# the halved exp work (same crossover as the hand-written eta == 0
-# symmetric kernels, pallas_reductions._SYM_BWD_MIN_M).
+# Self FORWARD evaluations switch to the SYMMETRIC generic kernel (each
+# unordered tile pair's exp computed once, pallas_ksum.pairwise_ksum_sym)
+# above this many points — below it the dual-table + block-pair fixed cost
+# outweighs the halved exp work (same crossover as the hand-written
+# eta == 0 symmetric kernels, pallas_reductions._SYM_BWD_MIN_M).  Measured
+# TPU v5e at M=131k, d=2: fwd 211 vs 178 Gpair/s ordered.
 _SYM_MIN_M = 32768
 # ... and only while the union payload table is narrow enough that the
 # kernel stays exp-bound: past this the MXU contraction dominates and the
-# symmetric pass saves nothing (it also busts the dual-accumulator VMEM
-# budget).  d=2 any-eta bwd = 121 cols rides it; d=3 any-eta bwd (333) not.
+# symmetric pass saves nothing (measured: the 121-col d=2 BACKWARD is
+# already MXU/table-bound at 127-128 Gpair/s either way — the generated
+# backward therefore stays on the ordered kernel; see rhs_self_bwd_poly).
 _SYM_MAX_COLS = 192
 
 
@@ -418,8 +420,12 @@ def rhs_self_bwd_poly(q, p, mask, gv, gg, gc, sigma, eta, ti=256, tj=512):
         vals[f"g{e}"] = gv[:, e]
         vals[f"h{e}"] = gg[:, e]
     polys = _self_bwd_polys(d, sigma, eta)
-    outs = eval_polys(polys, q, q, vals, vals, sigma, ti, tj,
-                      sym=_use_sym(m, polys))
+    # measured TPU v5e, M=131k, d=2 (121-col table): sym 128 Gpair/s vs
+    # ordered 127 — the backward is not exp-bound at this width, so the
+    # halved exp buys nothing (the fwd's 20-col table IS: 211 vs 178).
+    # Stay on the ordered kernel: identical speed, one fewer compiled
+    # variant per registration program.
+    outs = eval_polys(polys, q, q, vals, vals, sigma, ti, tj)
     dq = jnp.stack([outs[f"dq{e}"] for e in range(d)], axis=1)
     dp = jnp.stack([outs[f"dp{e}"] for e in range(d)], axis=1)
     return dq, dp

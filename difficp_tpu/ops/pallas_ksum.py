@@ -133,20 +133,26 @@ def pairwise_ksum(x, y, payloads, sigma, mask_y=None, ti=256, tj=512):
     return out[:ncols, :nx].T
 
 
-def _ksum_sym_pair_kernel(blka_ref, fullb_ref, sig_ref, ta_ref, tb_ref, *,
-                          d, t, nvars, mask_row, monos, rows_out,
-                          same_block):
+def _ksum_sym_pair_kernel(ca_ref, ta_in_ref, cb_ref, tb_in_ref, sig_ref,
+                          ta_ref, tb_ref, *, d, t, rows_out, same_block):
     """One block pair (a, b) of the GENERIC symmetric self kernel-sum.
 
     Same 2-level decomposition as ``pallas_reductions.
     _rhs_self_sym_pair_kernel`` (python-level unordered block pairs,
     kernel-level unordered tile pairs; each (t, t) exp tile evaluated ONCE,
-    contracted against BOTH sides' payload tables), but the payload table is
-    built in-kernel from narrow variable rows by a STATIC monomial list —
-    one compiled kernel per polynomial family instead of per hand-derived
-    op.  Payload row c = m * prod(rows[r] for r in monos[c]); monomials
-    share partial products through a prefix cache (sorted tuples), so each
-    distinct prefix costs one VPU multiply per tile.
+    contracted against BOTH sides' payload tables).  The payload tables are
+    built OUTSIDE in plain jnp (XLA-fused, O(M x ncols) once per call) and
+    streamed in: ``ta_in`` is block a's (rows_out, t) table slice for this
+    grid step, ``cb``/``tb_in`` are block b's coordinates and full
+    (rows_out, Mb) table, VMEM-resident across the grid.  The kernel body is
+    pure exp + two MXU contractions per unordered tile pair.
+
+    (A first version built the monomial tables IN-kernel from narrow
+    variable rows; that costs ~1 VPU multiply per distinct monomial prefix
+    per tile pair per side, which for the 121-column any-eta backward table
+    (~120 prefixes) cancelled the halved-exp win exactly — measured
+    102 Gpair/s vs 127 ordered at M=131k.  Externalizing the build leaves
+    only the exp tile, which the symmetric pass halves.)
     """
     i = pl.program_id(0)
 
@@ -156,31 +162,18 @@ def _ksum_sym_pair_kernel(blka_ref, fullb_ref, sig_ref, ta_ref, tb_ref, *,
 
     sig = sig_ref[0, 0]
     u = 1.0 / (sig * sig)
-
-    def read_side(ref, start):
-        rows = [ref[r, pl.ds(start, t)] for r in range(nvars)]
-        cache = {(): rows[mask_row]}
-
-        def mono_row(mono):
-            if mono not in cache:
-                cache[mono] = mono_row(mono[:-1]) * rows[mono[-1]]
-            return cache[mono]
-
-        prows = [mono_row(mn) for mn in monos]
-        zero = jnp.zeros((t,), jnp.float32)
-        prows.extend([zero] * (rows_out - len(monos)))
-        return jnp.stack(prows, axis=0), rows[:d]
-
-    pload_i, qi = read_side(blka_ref, i * t)
-    n_j = fullb_ref.shape[1] // t
+    qi = [ca_ref[dd, :] for dd in range(d)]
+    pload_i = ta_in_ref[...]
+    n_j = cb_ref.shape[1] // t
 
     def body(jt, acc):
         j0 = jt * t
-        pload_j, qj = read_side(fullb_ref, j0)
+        qj = [cb_ref[dd, pl.ds(j0, t)] for dd in range(d)]
         d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
         for dd in range(1, d):
             d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
         kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
+        pload_j = tb_in_ref[:, pl.ds(j0, t)]
         acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
         if same_block:
             off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
@@ -209,41 +202,67 @@ def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
     ``m`` from the monomials, exact for binary masks since m^k == m).
     ``monos``: static tuple of sorted tuples of row indices.
 
-    VMEM per pallas call = 2 narrow blocks + the (rows_out, mb) dual-side
-    accumulator; ``mb`` is sized to that budget, python-level block pairs
-    cover any M (same scheme as the hand-written symmetric-pair kernels).
+    VMEM per pallas call = block b's coordinate rows + two (rows_out, Mb)
+    tables (streamed-in payload + dual-side accumulator); ``mb`` is sized to
+    that budget, python-level block pairs cover any M (same scheme as the
+    hand-written symmetric-pair kernels).
     """
     m = var_rows[0].shape[0]
-    nvars = len(var_rows)
     ncols = len(monos)
     rows_out = -(-ncols // 8) * 8
     if mb is None:
         budget = (12 * 1024 * 1024) // 4
-        mb = budget // (rows_out + 2 * nvars)
-        mb = max(t, min(65536, (mb // t) * t))
+        mb_max = budget // (2 * rows_out + 8)
+        mb_max = max(t, min(65536, (mb_max // t) * t))
+        # block count first, then the smallest t-aligned block that covers
+        # m in that many blocks: the pair loop computes mpad^2 pairs, so a
+        # budget-maximal mb can pad m far past the real point count (131072
+        # at a 53248 cap -> mpad 159744 = 1.49x the true pair work, which
+        # cancelled the halved-exp win entirely when first measured)
+        nb = -(-m // mb_max)
+        mb = -(-(-(-m // nb)) // t) * t
+        mb = max(t, mb)
     else:
         mb = max(t, (mb // t) * t)
     mpad = -(-m // mb) * mb
-    packed = jnp.zeros((nvars, mpad), jnp.float32)
-    for r, v in enumerate(var_rows):
-        packed = packed.at[r, :m].set(v)
+
+    coords = jnp.zeros((8, mpad), jnp.float32)
+    for dd in range(d):
+        coords = coords.at[dd, :m].set(var_rows[dd])
+    # full payload table, built once in plain jnp (XLA fuses the products);
+    # shared monomial prefixes cost one multiply each
+    cache = {(): var_rows[mask_row]}
+
+    def mono_col(mn):
+        if mn not in cache:
+            cache[mn] = mono_col(mn[:-1]) * var_rows[mn[-1]]
+        return cache[mn]
+
+    table = jnp.zeros((rows_out, mpad), jnp.float32)
+    for c, mn in enumerate(monos):
+        table = table.at[c, :m].set(mono_col(mn))
     sig = jnp.reshape(jnp.asarray(sigma, jnp.float32), (1, 1))
 
     nb = mpad // mb
     tables = [jnp.zeros((rows_out, mb), jnp.float32) for _ in range(nb)]
     for a in range(nb):
-        blk_a = packed[:, a * mb:(a + 1) * mb]
+        ca = coords[:, a * mb:(a + 1) * mb]
+        pa = table[:, a * mb:(a + 1) * mb]
         for b in range(a + 1):
-            blk_b = packed[:, b * mb:(b + 1) * mb]
+            cb = coords[:, b * mb:(b + 1) * mb]
+            pb = table[:, b * mb:(b + 1) * mb]
             kernel = functools.partial(
-                _ksum_sym_pair_kernel, d=d, t=t, nvars=nvars,
-                mask_row=mask_row, monos=monos, rows_out=rows_out,
+                _ksum_sym_pair_kernel, d=d, t=t, rows_out=rows_out,
                 same_block=(a == b),
             )
             ta, tb = pl.pallas_call(
                 kernel,
                 grid=(mb // t,),
                 in_specs=[
+                    pl.BlockSpec((8, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_out, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -263,7 +282,7 @@ def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
                     dimension_semantics=("arbitrary",),
                 ),
                 interpret=_interpret(),
-            )(blk_a, blk_b, sig)
+            )(ca, pa, cb, pb, sig)
             # ta: block-a rows' contributions from (i, j<=i [or all j])
             # pairs; tb: the dual-side contributions to block b — for
             # a == b that is the strict upper triangle of the same block

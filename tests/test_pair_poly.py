@@ -290,23 +290,34 @@ def test_make_rhs_ext_eta_poly_fwd_dispatch(monkeypatch):
 @pytest.mark.parametrize("eta", [0.0, 0.3])
 def test_sym_self_eval_matches_ordered(eta, monkeypatch):
     """eval_polys(sym=True) == ordered evaluation for the generated self
-    fwd + bwd (the symmetric-pair kernel computes each unordered tile pair
-    once; same table, same epilogue)."""
+    fwd (dispatched above the gate) and bwd (sym exercised directly: the
+    dispatch keeps the backward ordered — measured speed parity on chip)."""
     import difficp_tpu.ops.pair_poly as PP
 
     qc = Q - _mm_center(Q, MQ)
     fwd_ref = PP.rhs_self_fwd_poly(qc, P, MQ, SIG, eta, True)
-    bwd_ref = PP.rhs_self_bwd_poly(qc, P, MQ, GV, GG, GC, SIG, eta)
     monkeypatch.setattr(PP, "_SYM_MIN_M", 1)
     fwd_s = PP.rhs_self_fwd_poly(qc, P, MQ, SIG, eta, True)
-    bwd_s = PP.rhs_self_bwd_poly(qc, P, MQ, GV, GG, GC, SIG, eta)
     for a, b in zip(jax.tree_util.tree_leaves(fwd_ref),
                     jax.tree_util.tree_leaves(fwd_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(bwd_ref),
-                    jax.tree_util.tree_leaves(bwd_s)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+
+    # backward component densities through the symmetric kernel directly
+    d = qc.shape[1]
+    vals = {"m": MQ,
+            "C": jnp.broadcast_to(jnp.asarray(GC, qc.dtype), (qc.shape[0],))}
+    for e in range(d):
+        vals[f"q{e}"] = qc[:, e]
+        vals[f"p{e}"] = P[:, e]
+        vals[f"g{e}"] = GV[:, e]
+        vals[f"h{e}"] = GG[:, e]
+    polys = PP._self_bwd_polys(d, SIG, eta)
+    outs_ref = PP.eval_polys(polys, qc, qc, vals, vals, SIG)
+    outs_s = PP.eval_polys(polys, qc, qc, vals, vals, SIG, sym=True)
+    for name in outs_ref:
+        np.testing.assert_allclose(np.asarray(outs_s[name]),
+                                   np.asarray(outs_ref[name]),
                                    rtol=1e-3, atol=2e-3)
 
 
@@ -347,11 +358,13 @@ def test_sym_ksum_multiblock_and_mask_subset():
 
 
 def test_sym_gate_width_and_size():
-    """The sym dispatch stays off below the size gate and for over-wide
-    tables (d=3 any-eta backward: 333 columns, MXU-bound)."""
+    """The sym dispatch (forward-only) stays off below the size gate and
+    for over-wide tables where the MXU contraction dominates."""
     import difficp_tpu.ops.pair_poly as PP
 
-    assert not PP._use_sym(16384, PP._self_bwd_polys(2, 0.6, 0.3))
-    assert PP._use_sym(65536, PP._self_bwd_polys(2, 0.6, 0.3))
-    assert not PP._use_sym(65536, PP._self_bwd_polys(3, 0.6, 0.3))
+    assert not PP._use_sym(16384, PP._self_fwd_polys(2, 0.6, 0.3, True))
+    assert PP._use_sym(65536, PP._self_fwd_polys(2, 0.6, 0.3, True))
     assert PP._use_sym(65536, PP._self_fwd_polys(3, 0.6, 0.3, True))
+    # the d=3 backward table (333 cols) is far past the width gate — the
+    # helper itself must refuse it even though the dispatch no longer asks
+    assert not PP._use_sym(65536, PP._self_bwd_polys(3, 0.6, 0.3))
