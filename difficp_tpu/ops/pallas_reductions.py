@@ -1208,7 +1208,12 @@ def _rhs_self_fwd_sym_blocks(q, p, mask, sigma, withlogdet, t=256,
     ~140k-point ceiling of the table-resident kernel)."""
     m, d = q.shape
     rows_total = 16
-    mb = max(t, (mb // t) * t)
+    # equal t-aligned blocks under the mb cap: the pair loop computes
+    # mpad^2 pairs, so a cap-sized last block can pad the work far past
+    # the real point count (e.g. M=150k at mb=65536 -> 1.7x)
+    mb_cap = max(t, (mb // t) * t)
+    nb = -(-m // mb_cap)
+    mb = max(t, -(-(-(-m // nb)) // t) * t)
     mpad = -(-m // mb) * mb
     packed = _pack(
         [q[:, dd] for dd in range(d)] + [p[:, dd] for dd in range(d)]
@@ -1314,7 +1319,15 @@ def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
     m, d = q.shape
     idx = _bwd_col_table(d)
     rows_total = -(-len(idx) // 8) * 8  # pad sublanes to a multiple of 8
-    mb = max(t, (mb // t) * t)
+    # VMEM per pair call = two 16-row input blocks + the (rows_total, mb)
+    # dual-side accumulator; the d=3 table (104 rows) busts the ~16M scoped
+    # limit at the d=2 default mb=32768 (measured OOM at 131k on chip), so
+    # cap mb by budget, then split m into equal t-aligned blocks (a
+    # cap-sized block can pad m's pair work far past the real count)
+    budget = (12 * 1024 * 1024) // 4
+    mb_cap = max(t, min(mb, (budget // (rows_total + 32) // t) * t))
+    nb = -(-m // mb_cap)
+    mb = max(t, -(-(-(-m // nb)) // t) * t)
     mpad = -(-m // mb) * mb
     rows16 = 16
     packed = jnp.zeros((rows16, mpad), jnp.float32)
