@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from difficp_tpu.ops import blockwise as _block
 from difficp_tpu.ops.pallas_reductions import (
+    _SYM_BUDGET_FLOATS,
     _ext_bwd_pallas,
     _interpret,
     _mm3,
@@ -89,6 +90,84 @@ def _ksum_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, rows_out):
     out_ref[...] += _mm3(pt, k, (((1,), (1,)), ((), ())))
 
 
+def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
+    """One x-tile against a VMEM-RESIDENT y block (coords+mask+payload
+    table).  Same math as ``_ksum_kernel``, but the j loop runs in-kernel
+    over the resident block instead of re-streaming (8 + rows_out)-row
+    y tiles from HBM once per x-tile — for wide tables that restream is
+    the binding cost (121-col table at M=131k: ~36 GB per call)."""
+    sig = sig_ref[0, 0]
+    u = 1.0 / (sig * sig)
+    xi = [x_ref[dd, :][:, None] for dd in range(d)]
+    ti = x_ref.shape[1]
+    n_j = y_ref.shape[1] // tj
+
+    def body(jt, acc):
+        j0 = jt * tj
+        yj = [y_ref[dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
+        mj = y_ref[d, pl.ds(j0, tj)][None, :]
+        d2 = (xi[0] - yj[0]) ** 2
+        for dd in range(1, d):
+            d2 = d2 + (xi[dd] - yj[dd]) ** 2
+        k = jnp.exp(-0.5 * d2 * u) * mj                 # (TI, TJ)
+        pt = y_ref[_HEAD:_HEAD + rows_out, pl.ds(j0, tj)]
+        return acc + _mm3(pt, k, (((1,), (1,)), ((), ())))
+
+    out_ref[...] = jax.lax.fori_loop(
+        0, n_j, body, jnp.zeros((rows_out, ti), jnp.float32)
+    )
+
+
+# wide-table y-resident dispatch: above this payload width the per-x-tile
+# HBM restream of the y pack dominates the ordered kernel (measured: the
+# 121-col any-eta backward at 127 Gpair/s vs ~190 exp+MXU-bound), so block
+# the j set into VMEM-resident chunks instead.  Narrow tables (the common
+# kred/hamiltonian cases) keep the simple streaming kernel.
+_BLOCKED_MIN_ROWS = 64
+_BLOCKED_MIN_N = 16384
+_BLOCKED_BUDGET_FLOATS = _SYM_BUDGET_FLOATS  # vmap-safe VMEM budget
+
+
+def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
+                           ti, tj):
+    """y-resident variant of ``pairwise_ksum`` for wide payload tables:
+    python-level loop over equal y blocks sized to the VMEM budget; each
+    pallas call sweeps all x tiles against one resident block, partial
+    tables summed in jnp."""
+    budget = _BLOCKED_BUDGET_FLOATS
+    mby_cap = max(tj, (budget // (_HEAD + rows_out) // tj) * tj)
+    nb = -(-n // mby_cap)
+    mby = max(tj, -(-(-(-n // nb)) // tj) * tj)
+    npad = -(-n // mby) * mby
+    if ypack.shape[1] != npad:
+        ypack = jnp.pad(ypack, ((0, 0), (0, npad - ypack.shape[1])))
+    sig = jnp.reshape(jnp.asarray(sigma, jnp.float32), (1, 1))
+    out = None
+    for b in range(npad // mby):
+        yblk = ypack[:, b * mby:(b + 1) * mby]
+        part = pl.pallas_call(
+            functools.partial(_ksum_blocked_kernel, d=d, tj=tj,
+                              rows_out=rows_out),
+            grid=(nx_pad // ti,),
+            in_specs=[
+                pl.BlockSpec((_HEAD, ti), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((rows_out, ti), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_out, nx_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=_interpret(),
+        )(xpack, yblk, sig)
+        out = part if out is None else out + part
+    return out
+
+
 def pairwise_ksum(x, y, payloads, sigma, mask_y=None, ti=256, tj=512):
     """A[c]_i = sum_j K(x_i - y_j) m_j payloads[j, c]  -> (Nx, ncols).
 
@@ -110,6 +189,11 @@ def pairwise_ksum(x, y, payloads, sigma, mask_y=None, ti=256, tj=512):
         ypack = ypack.at[dd, :n].set(y[:, dd])
     ypack = ypack.at[d, :n].set(my)
     ypack = ypack.at[_HEAD:_HEAD + ncols, :n].set(payloads.T)
+
+    if rows_out >= _BLOCKED_MIN_ROWS and n >= _BLOCKED_MIN_N:
+        out = _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d,
+                                     rows_out, ti, tj)
+        return out[:ncols, :nx].T
 
     out = pl.pallas_call(
         functools.partial(_ksum_kernel, d=d, rows_out=rows_out),
@@ -211,7 +295,7 @@ def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
     ncols = len(monos)
     rows_out = -(-ncols // 8) * 8
     if mb is None:
-        budget = (12 * 1024 * 1024) // 4
+        budget = _SYM_BUDGET_FLOATS  # vmap-safe (see pallas_reductions)
         mb_max = budget // (2 * rows_out + 8)
         mb_max = max(t, min(65536, (mb_max // t) * t))
         # block count first, then the smallest t-aligned block that covers

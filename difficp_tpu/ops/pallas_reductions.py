@@ -993,10 +993,18 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
     return _fwd_sym_epilogue(table[:, :m], q, p, mask, sigma, withlogdet, d)
 
 
-# symmetric fwd kernel VMEM budget: (8 + 16) rows x Mpad x 4 B resident;
-# stay under ~14 MB of the ~16 MB/core VMEM, else use the streaming-output
-# full-pairs kernel
-_SYM_MAX_MPAD = 140 * 1024
+# Shared VMEM budget for the block-pair / resident symmetric kernels, in
+# f32 elements.  Sized for VMAP SAFETY, not just the single-instance ~16 MB
+# scoped limit: under vmap (the lockstep multi-frame Reg_opt) the compiler
+# double-buffers the kernel's VMEM working set across the batch grid
+# dimension, so a single-instance budget B compiles to ~2B — measured: the
+# 10.5 MB bwd-sym working set OOMed at 20.09 MB under vmap(10) at N=65k
+# while running fine single-frame at 131k.  7.5 MB x 2 = 15 MB < 16 MB.
+_SYM_BUDGET_FLOATS = (15 * 1024 * 1024) // 8
+# symmetric fwd kernel: (8 + 16) rows x Mpad x 4 B resident table + packed
+# input; past this, the block-pair decomposition (same speed: 226 vs 219
+# Gpair/s measured at 262k/131k) keeps every block under the budget
+_SYM_MAX_MPAD = (_SYM_BUDGET_FLOATS // 24 // 1024) * 1024
 # Smallest point count where the symmetric-pair BACKWARD beats the
 # full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
 _SYM_BWD_MIN_M = 32768
@@ -1210,8 +1218,11 @@ def _rhs_self_fwd_sym_blocks(q, p, mask, sigma, withlogdet, t=256,
     rows_total = 16
     # equal t-aligned blocks under the mb cap: the pair loop computes
     # mpad^2 pairs, so a cap-sized last block can pad the work far past
-    # the real point count (e.g. M=150k at mb=65536 -> 1.7x)
-    mb_cap = max(t, (mb // t) * t)
+    # the real point count (e.g. M=150k at mb=65536 -> 1.7x).  VMEM per
+    # pair call = two 16-row packed blocks + the 16-row dual accumulator;
+    # capped by the vmap-safe shared budget.
+    mb_cap = min(mb, _SYM_BUDGET_FLOATS // (16 + 16 + rows_total))
+    mb_cap = max(t, (mb_cap // t) * t)
     nb = -(-m // mb_cap)
     mb = max(t, -(-(-(-m // nb)) // t) * t)
     mpad = -(-m // mb) * mb
@@ -1321,10 +1332,11 @@ def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
     rows_total = -(-len(idx) // 8) * 8  # pad sublanes to a multiple of 8
     # VMEM per pair call = two 16-row input blocks + the (rows_total, mb)
     # dual-side accumulator; the d=3 table (104 rows) busts the ~16M scoped
-    # limit at the d=2 default mb=32768 (measured OOM at 131k on chip), so
+    # limit at the d=2 default mb=32768 (measured OOM at 131k on chip), and
+    # vmap double-buffering halves what fits again (_SYM_BUDGET_FLOATS), so
     # cap mb by budget, then split m into equal t-aligned blocks (a
     # cap-sized block can pad m's pair work far past the real count)
-    budget = (12 * 1024 * 1024) // 4
+    budget = _SYM_BUDGET_FLOATS
     mb_cap = max(t, min(mb, (budget // (rows_total + 32) // t) * t))
     nb = -(-m // mb_cap)
     mb = max(t, -(-(-(-m // nb)) // t) * t)

@@ -199,3 +199,33 @@ def test_backend_dispatch_forced_pallas():
         )
     finally:
         red.set_backend(None)
+
+
+def test_pairwise_ksum_blocked_matches_streaming(monkeypatch):
+    """The wide-table y-resident dispatch (r4) == the streaming kernel ==
+    dense, including a multi-block decomposition and a wide (67-col)
+    payload table with masked j points."""
+    import difficp_tpu.ops.pallas_ksum as PK
+
+    ncols = 67  # rows_out = 72 >= the (patched) width gate
+    pay = jnp.asarray(rng.normal(size=(NY, ncols)).astype(np.float32))
+    want = _dense_ksum(X, Y, pay, SIG, MY)
+    got_stream = pairwise_ksum(X, Y, pay, SIG, MY, ti=64, tj=64)
+    monkeypatch.setattr(PK, "_BLOCKED_MIN_ROWS", 8)
+    monkeypatch.setattr(PK, "_BLOCKED_MIN_N", 1)
+    # shrink the budget so NY=330 splits into several resident blocks
+    monkeypatch.setattr(PK, "_BLOCKED_BUDGET_FLOATS", (72 + 8) * 128)
+    calls = []
+    orig = PK._pairwise_ksum_blocked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(PK, "_pairwise_ksum_blocked", spy)
+    got_blocked = PK.pairwise_ksum(X, Y, pay, SIG, MY, ti=64, tj=64)
+    assert calls, "blocked path did not dispatch"
+    np.testing.assert_allclose(np.asarray(got_blocked), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_blocked),
+                               np.asarray(got_stream), rtol=2e-4, atol=2e-4)
