@@ -75,7 +75,8 @@ def bench_rhs(dim=2):
     return out
 
 
-def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40):
+def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
+                ls_steps=None):
     """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
     single program executions running much beyond ~60 s, so at scale each
     partial step is its own (short) program; the pallas fwd+bwd kernels keep
@@ -117,10 +118,11 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40):
         # short registration programs: the axon runtime kills device
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
+        ls_kw = {} if ls_steps is None else {"ls_steps": ls_steps}
         psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
-                    carry_memory=carry, carry_value=carry)
+                    carry_memory=carry, carry_value=carry, **ls_kw)
         psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
-                    carry_memory=carry, carry_value=carry)
+                    carry_memory=carry, carry_value=carry, **ls_kw)
 
     t0 = time.time()
     one_iter()
@@ -547,6 +549,10 @@ if __name__ == "__main__":
         m = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
         res["kernels4"] = bench_kernels4(m)
     if which == "atlas65":  # K=10 frames x 65k points each (2.7 Tpair/iter)
+        # per-program budget sized for the ~60 s watchdog: one eval here is
+        # 10 frames x 65k loss+grad ~ 4.5 s, so the COLD first program must
+        # not be allowed a deep zoom (the default ls=25 budget ran ~25
+        # evals and crashed the worker)
         res["atlas65"] = bench_atlas(k=10, n=65536, n_iter=2,
-                                     carry=True, inner=4)
+                                     carry=True, inner=2, ls_steps=8)
     print(json.dumps(res))

@@ -227,7 +227,18 @@ def _make_linesearch(vg, max_steps: int, errthresh):
 
             armijo = jnp.logical_and(okf, fa <= fx + _C1 * a * dg0)
             strong = jnp.logical_and(armijo, jnp.abs(dga) <= -_C2 * dg0)
-            hi_cond = jnp.logical_or(~armijo, fa >= f_lo)
+            # a DIVERGENT trial met while still BRACKETING does not open a
+            # bracket (its NaN/aberrant endpoint would force pure bisection
+            # from the seed: the stiff raw-sum objectives at 65k+ points
+            # have their Wolfe step ~5 orders below the 1/||g0|| seed and
+            # blow up to NaN in between, so ~14 halvings never fit a
+            # watchdog-sized ls budget — measured ZERO accepted steps and
+            # zero FE progress at K=10 x 65k).  Instead back off the trial
+            # geometrically (a/64): 3 evals reach a finite region from any
+            # seed overshoot, then normal bracket/zoom resumes.
+            brk_div = jnp.logical_and(~okf, ~in_zoom)
+            hi_cond = jnp.logical_and(
+                ~brk_div, jnp.logical_or(~armijo, fa >= f_lo))
             accept = jnp.logical_and(~hi_cond, strong)
             # bracket: derivative turned non-negative -> interval is
             # (a, old lo); zoom: same test in interval orientation
@@ -238,7 +249,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             na_hi = jnp.where(hi_cond, a, jnp.where(flip, a_lo, a_hi))
             nf_hi = jnp.where(hi_cond, fa, jnp.where(flip, f_lo, f_hi))
             ndg_hi = jnp.where(hi_cond, dga, jnp.where(flip, dg_lo, dg_hi))
-            lo_upd = jnp.logical_and(~hi_cond, ~strong)
+            lo_upd = jnp.logical_and(jnp.logical_and(~hi_cond, ~strong), okf)
             na_lo = jnp.where(lo_upd, a, a_lo)
             nf_lo = jnp.where(lo_upd, fa, f_lo)
             ndg_lo = jnp.where(lo_upd, dga, dg_lo)
@@ -273,6 +284,7 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             grow = jnp.where(jnp.isfinite(grow),
                              jnp.clip(grow, 2.0 * a, 10.0 * a), 2.0 * a)
             a_next = jnp.where(nzoom, z_next, grow)
+            a_next = jnp.where(brk_div, a * (1.0 / 64.0), a_next)
 
             nacc_a = jnp.where(accept, a, acc_a)
             nacc_f = jnp.where(accept, fa, acc_f)

@@ -167,3 +167,35 @@ def test_api_carry_memory_option(spiral_frames):
     )
     assert psr.fe_increase_events == 0
     assert psr._reg_memory is not None
+
+
+def test_linesearch_divergent_seed_backoff():
+    """A cold seed landing orders of magnitude past the objective's finite
+    region must still accept a step within a watchdog-sized ls budget: a
+    divergent (non-finite / > errthresh) BRACKETING trial backs the step
+    off geometrically (a/64) instead of opening a NaN-endpoint bracket
+    that can only bisect (measured at K=10 x 65k atlas: the 1/||g0|| seed
+    sits ~5 orders above the Wolfe window with NaN in between; ~14
+    bisections never fit ls<=8, so NO step was ever accepted and the
+    registration made exactly zero FE progress)."""
+    import jax
+    import jax.numpy as jnp
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    # quartic blow-up: finite descent only for steps |p| <~ 1e-3 from the
+    # start; 1/||g0|| seeds ~ 5e-5 * scale overshoots hugely
+    scale = 1e4
+
+    def loss(p):
+        t = jnp.sum(p * p)
+        quart = (scale * t) ** 2
+        return jnp.where(quart > 1e6, jnp.nan, scale * t + quart)
+
+    p0 = jnp.full((8,), 3e-4, jnp.float32)  # loss finite at start
+    res = lbfgs_optimize(loss, p0, nmax=1, inner=2, tol=0.0,
+                         max_linesearch_steps=8)
+    l0 = float(loss(p0))
+    assert float(res.loss) < l0 - 1e-6, (float(res.loss), l0)
+    assert bool(jnp.isfinite(res.loss))
+    # and the accepted alpha threads out as a warm seed (> degenerate)
+    assert float(res.alpha) > 0.0
