@@ -25,6 +25,7 @@ frozen through the shoot.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -307,6 +308,13 @@ def random_p(cfg: LDDMMConfig, q, key, rcond=1e-3, alpha=1e-4,
         raise NotImplementedError("random_p requires gradcomponent=False")
     m = q.shape[0]
     if m * m > red.DENSE_PAIR_LIMIT and version == "ridge":
+        warnings.warn(
+            f"random_p: M={m} exceeds the dense pair limit; rerouting "
+            "version='ridge' to the matrix-free 'rff_cg' sampler (same "
+            "target distribution, up to O(1/sqrt(n_features)) RFF "
+            "covariance error). Pass version='rff_cg' to silence.",
+            stacklevel=2,
+        )
         version = "rff_cg"
     if version == "rff_cg":
         kf, kxi = jax.random.split(key)

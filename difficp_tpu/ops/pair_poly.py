@@ -161,7 +161,11 @@ def _sym_table(cms, x, col_vals, sigma, t):
     monos = tuple(
         tuple(row_of[n] for n in cm if n != "m") for cm in cms
     )
-    assert all("m" in cm for cm in cms), cms
+    if not all("m" in cm for cm in cms):
+        # correctness precondition, not a debug check: a density whose col
+        # monomial lacks the mask variable would silently drop masking in
+        # the sym path (must survive python -O)
+        raise ValueError(f"sym kernel-sum col monomial without mask m: {cms}")
     return pairwise_ksum_sym(var_rows, d, len(names), monos, sigma, t=t)
 
 

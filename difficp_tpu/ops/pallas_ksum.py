@@ -50,13 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from difficp_tpu.ops import blockwise as _block
 from difficp_tpu.ops.pallas_reductions import (
-    _SYM_BUDGET_FLOATS,
     _ext_bwd_pallas,
     _interpret,
     _mm3,
     _mm_center,
     _rhs_self_fwd_best,
     _rhs_self_fwd_pallas,
+    _sym_budget_floats,
     _vx_fwd_pallas,
 )
 
@@ -125,7 +125,6 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
 # kred/hamiltonian cases) keep the simple streaming kernel.
 _BLOCKED_MIN_ROWS = 64
 _BLOCKED_MIN_N = 16384
-_BLOCKED_BUDGET_FLOATS = _SYM_BUDGET_FLOATS  # vmap-safe VMEM budget
 
 
 def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
@@ -134,7 +133,10 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     python-level loop over equal y blocks sized to the VMEM budget; each
     pallas call sweeps all x tiles against one resident block, partial
     tables summed in jnp."""
-    budget = _BLOCKED_BUDGET_FLOATS
+    # the resident y block shares VMEM with the double-buffered x tile and
+    # out tile (2x each under the pipelined grid) — subtract them before
+    # sizing the block so the real working set stays under the vmap-safe cap
+    budget = _sym_budget_floats() - 2 * (_HEAD + rows_out) * ti
     mby_cap = max(tj, (budget // (_HEAD + rows_out) // tj) * tj)
     nb = -(-n // mby_cap)
     mby = max(tj, -(-(-(-n // nb)) // tj) * tj)
@@ -295,7 +297,7 @@ def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
     ncols = len(monos)
     rows_out = -(-ncols // 8) * 8
     if mb is None:
-        budget = _SYM_BUDGET_FLOATS  # vmap-safe (see pallas_reductions)
+        budget = _sym_budget_floats()  # vmap-safe (see pallas_reductions)
         mb_max = budget // (2 * rows_out + 8)
         mb_max = max(t, min(65536, (mb_max // t) * t))
         # block count first, then the smallest t-aligned block that covers

@@ -39,6 +39,7 @@ On non-TPU backends the kernels run in interpret mode (tests).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -994,17 +995,51 @@ def _rhs_self_fwd_sym_mm(q, p, mask, sigma, withlogdet, t=256):
 
 
 # Shared VMEM budget for the block-pair / resident symmetric kernels, in
-# f32 elements.  Sized for VMAP SAFETY, not just the single-instance ~16 MB
-# scoped limit: under vmap (the lockstep multi-frame Reg_opt) the compiler
+# f32 elements — DERIVED from the queried device VMEM capacity, not a
+# literal.  Sized for VMAP SAFETY, not just the single-instance scoped
+# limit: under vmap (the lockstep multi-frame Reg_opt) the compiler
 # double-buffers the kernel's VMEM working set across the batch grid
 # dimension, so a single-instance budget B compiles to ~2B — measured: the
 # 10.5 MB bwd-sym working set OOMed at 20.09 MB under vmap(10) at N=65k
-# while running fine single-frame at 131k.  7.5 MB x 2 = 15 MB < 16 MB.
-_SYM_BUDGET_FLOATS = (15 * 1024 * 1024) // 8
-# symmetric fwd kernel: (8 + 16) rows x Mpad x 4 B resident table + packed
-# input; past this, the block-pair decomposition (same speed: 226 vs 219
-# Gpair/s measured at 262k/131k) keeps every block under the budget
-_SYM_MAX_MPAD = (_SYM_BUDGET_FLOATS // 24 // 1024) * 1024
+# while running fine single-frame at 131k.  On a 16 MB-VMEM core this
+# evaluates to (16 MB - 1 MB slack) / 2 = 7.5 MB per instance — exactly
+# the hand-calibrated v5e value of rounds 2-4.
+_VMEM_SLACK_BYTES = 1024 * 1024   # compiler scratch / semaphores headroom
+_VMAP_DB_FACTOR = 2               # measured vmap double-buffering factor
+
+
+@functools.lru_cache(maxsize=None)
+def _device_vmem_bytes() -> int:
+    """Per-core VMEM capacity: DIFFICP_VMEM_BYTES env override, else keyed
+    on the queried TPU device kind (v2-v5 generations ~16 MB/core, Trillium
+    v6e 32 MB); the 16 MB default is also used on CPU so interpret-mode
+    tests exercise the same tile shapes as the chip."""
+    env = os.environ.get("DIFFICP_VMEM_BYTES")
+    if env:
+        return int(env)
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "tpu":
+            kind = (getattr(dev, "device_kind", "") or "").lower()
+            if "v6" in kind or "trillium" in kind:
+                return 32 * 1024 * 1024
+    except Exception:
+        pass
+    return 16 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _sym_budget_floats() -> int:
+    return (_device_vmem_bytes() - _VMEM_SLACK_BYTES) // _VMAP_DB_FACTOR // 4
+
+
+@functools.lru_cache(maxsize=None)
+def _sym_max_mpad() -> int:
+    # symmetric fwd kernel: (8 + 16) rows x Mpad x 4 B resident table +
+    # packed input; past this, the block-pair decomposition (same speed:
+    # 226 vs 219 Gpair/s measured at 262k/131k) keeps every block under
+    # the budget
+    return (_sym_budget_floats() // 24 // 1024) * 1024
 # Smallest point count where the symmetric-pair BACKWARD beats the
 # full-pairs kernel (measured TPU v5e: 16k 30 vs 49, 65k 178 vs 132).
 _SYM_BWD_MIN_M = 32768
@@ -1221,7 +1256,7 @@ def _rhs_self_fwd_sym_blocks(q, p, mask, sigma, withlogdet, t=256,
     # the real point count (e.g. M=150k at mb=65536 -> 1.7x).  VMEM per
     # pair call = two 16-row packed blocks + the 16-row dual accumulator;
     # capped by the vmap-safe shared budget.
-    mb_cap = min(mb, _SYM_BUDGET_FLOATS // (16 + 16 + rows_total))
+    mb_cap = min(mb, _sym_budget_floats() // (16 + 16 + rows_total))
     mb_cap = max(t, (mb_cap // t) * t)
     nb = -(-m // mb_cap)
     mb = max(t, -(-(-(-m // nb)) // t) * t)
@@ -1240,7 +1275,7 @@ def _rhs_self_fwd_best(qc, p, mask, sigma, withlogdet, ti=256, tj=512):
     table-resident symmetric kernel while it fits VMEM, block-pair
     symmetric decomposition beyond."""
     m = qc.shape[0]
-    if -(-m // ti) * ti <= _SYM_MAX_MPAD:
+    if -(-m // ti) * ti <= _sym_max_mpad():
         return _rhs_self_fwd_sym_mm(qc, p, mask, sigma, withlogdet, ti)
     return _rhs_self_fwd_sym_blocks(qc, p, mask, sigma, withlogdet, ti)
 
@@ -1333,10 +1368,10 @@ def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
     # VMEM per pair call = two 16-row input blocks + the (rows_total, mb)
     # dual-side accumulator; the d=3 table (104 rows) busts the ~16M scoped
     # limit at the d=2 default mb=32768 (measured OOM at 131k on chip), and
-    # vmap double-buffering halves what fits again (_SYM_BUDGET_FLOATS), so
+    # vmap double-buffering halves what fits again (_sym_budget_floats), so
     # cap mb by budget, then split m into equal t-aligned blocks (a
     # cap-sized block can pad m's pair work far past the real count)
-    budget = _SYM_BUDGET_FLOATS
+    budget = _sym_budget_floats()
     mb_cap = max(t, min(mb, (budget // (rows_total + 32) // t) * t))
     nb = -(-m // mb_cap)
     mb = max(t, -(-(-(-m // nb)) // t) * t)

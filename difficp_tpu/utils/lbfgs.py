@@ -242,8 +242,11 @@ def _make_linesearch(vg, max_steps: int, errthresh):
             accept = jnp.logical_and(~hi_cond, strong)
             # bracket: derivative turned non-negative -> interval is
             # (a, old lo); zoom: same test in interval orientation
+            # okf gate: a finite-but-aberrant (fa > errthresh) bracketing
+            # trial must not flip into zoom — lo_upd is suppressed for it,
+            # so the flip would open a degenerate a_lo == a_hi bracket.
             flip = jnp.logical_and(
-                jnp.logical_and(~hi_cond, ~strong),
+                jnp.logical_and(okf, jnp.logical_and(~hi_cond, ~strong)),
                 jnp.where(in_zoom, dga * (a_hi - a_lo) >= 0, dga >= 0),
             )
             na_hi = jnp.where(hi_cond, a, jnp.where(flip, a_lo, a_hi))

@@ -11,6 +11,7 @@ fallback.
 from __future__ import annotations
 
 import math
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -43,10 +44,26 @@ def point_set_distance(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     d = x.shape[1]
+    # intrinsic-scale guard (reference point_sets.py:67-75): a requested
+    # blur below the set's mean nearest-neighbour distance makes the
+    # "blurred density" distance resolution-limited by sampling, not shape —
+    # a user-facing footgun worth a setup-time warning (host-side only)
+    s_x_int = intrinsic_scale(x, mask_x)
     if sigma_x is None:
-        sigma_x = intrinsic_scale(x, mask_x)
+        sigma_x = s_x_int
+    elif sigma_x < s_x_int:
+        warnings.warn(
+            f"point_set_distance: requested sigma_x={sigma_x:.4g} is below "
+            f"the intrinsic scale {s_x_int:.4g} of point set X. You should "
+            "probably augment sigma_x.", stacklevel=2)
+    s_y_int = intrinsic_scale(y, mask_y)
     if sigma_y is None:
-        sigma_y = intrinsic_scale(y, mask_y)
+        sigma_y = s_y_int
+    elif sigma_y < s_y_int:
+        warnings.warn(
+            f"point_set_distance: requested sigma_y={sigma_y:.4g} is below "
+            f"the intrinsic scale {s_y_int:.4g} of point set Y. You should "
+            "probably augment sigma_y.", stacklevel=2)
 
     nx = float(mask_x.sum()) if mask_x is not None else x.shape[0]
     ny = float(mask_y.sum()) if mask_y is not None else y.shape[0]

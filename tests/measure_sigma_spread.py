@@ -1,0 +1,110 @@
+"""Measure the torch reference's sensitivity of final GMM sigma on the
+basic/multi golden workloads (VERDICT r4 item 8: justify the sigma parity
+tolerances with a measurement).
+
+The seeded reference run is deterministic, so 'run-to-run spread' is defined
+here as the spread of final sigma under tiny input perturbations (N(0, eps)
+jitter on the input points, eps = 1e-4 ~ 1e-4 of the point-cloud scale) —
+i.e. the conditioning of final sigma at matched final free energy.  This is
+the right yardstick for cross-implementation parity: our optimizer takes a
+different path through the same landscape, which is statistically the same
+kind of perturbation.
+
+Run (CPU, slow — minutes):  python tests/measure_sigma_spread.py [basic|multi]
+Writes tests/goldens/sigma_spread.json.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(__file__))
+
+import make_goldens  # noqa: F401  (installs the pykeops stub + patches)
+from make_goldens import OUT, t2n  # noqa: E402
+
+import torch  # noqa: E402
+
+torch.set_default_dtype(torch.float32)
+
+
+def run_basic(jitter_seed=None, eps=1e-4):
+    from diffICP.core.LDDMM import LDDMMModel
+    from diffICP.core.PSR import DiffPSR
+    from diffICP.core.GMM import GaussianMixtureUnif
+
+    spiral = np.load(os.path.join(OUT, "spiral.npz"))
+    x0 = torch.tensor(spiral["x0"])
+    if jitter_seed is not None:
+        g = torch.Generator().manual_seed(jitter_seed)
+        x0 = x0 + eps * torch.randn(x0.shape, generator=g)
+    gmm = GaussianMixtureUnif(torch.tensor(spiral["mu0"]),
+                              computversion="torch")
+    gmm.sigma = 0.1
+    gmm.to_optimize = {"mu": False, "sigma": True, "w": False, "eta0": False}
+    lm = LDDMMModel(sigma=0.2, D=2, lambd=5e2, version="classic",
+                    computversion="torch", scheme="Euler", nt=10)
+    psr = DiffPSR(x0, gmm, lm)
+    psr.set_support_scheme("grid", rho=np.sqrt(2.0))
+    psr.printstuff = False
+    for _ in range(20):
+        psr.GMM_opt()
+        psr.Reg_opt(tol=1e-5)
+    return float(psr.GMMi[0].sigma), float(psr.FE)
+
+
+def run_multi(jitter_seed=None, eps=1e-4, iters=15):
+    from diffICP.core.LDDMM import LDDMMModel
+    from diffICP.core.PSR import DiffPSR
+    from diffICP.core.GMM import GaussianMixtureUnif
+
+    spiral = np.load(os.path.join(OUT, "spiral.npz"))
+    x0 = [torch.tensor(spiral[f"x{k}"]) for k in range(10)]
+    if jitter_seed is not None:
+        g = torch.Generator().manual_seed(jitter_seed)
+        x0 = [x + eps * torch.randn(x.shape, generator=g) for x in x0]
+    torch.random.manual_seed(0)
+    C = 20
+    mu_init = x0[0][torch.randint(0, x0[0].shape[0], (C,)), :]
+    gmm = GaussianMixtureUnif(mu_init, computversion="torch")
+    gmm.to_optimize = {"mu": True, "sigma": True, "w": True, "eta0": False}
+    lm = LDDMMModel(sigma=0.2, D=2, lambd=5e2, version="hybrid",
+                    computversion="torch", scheme="Euler", nt=10)
+    psr = DiffPSR(x0, gmm, lm)
+    psr.set_support_scheme("grid", rho=1.0)
+    psr.printstuff = False
+    for it in range(iters):
+        psr.GMM_opt(max_iterations=25, tol=1e-3)
+        psr.Reg_opt(tol=1e-3, nmax=10)
+        print("  iter", it, "FE", float(psr.FE), flush=True)
+    return float(psr.GMMi[0].sigma), float(psr.FE)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "basic"
+    path = os.path.join(OUT, "sigma_spread.json")
+    data = {}
+    if os.path.exists(path):
+        data = json.load(open(path))
+    runner = {"basic": run_basic, "multi": run_multi}[which]
+    rows = []
+    for seed in [None, 1, 2, 3, 4]:
+        s, fe = runner(jitter_seed=seed)
+        rows.append({"seed": seed, "sigma": s, "FE": fe})
+        print(which, "seed", seed, "sigma", s, "FE", fe, flush=True)
+    sig = np.array([r["sigma"] for r in rows])
+    data[which] = {
+        "rows": rows,
+        "sigma_mean": float(sig.mean()),
+        "sigma_rel_spread": float((sig.max() - sig.min()) / sig.mean()),
+        "eps": 1e-4,
+    }
+    json.dump(data, open(path, "w"), indent=1)
+    print("written", path, "rel spread:", data[which]["sigma_rel_spread"])
+
+
+if __name__ == "__main__":
+    main()

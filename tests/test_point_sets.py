@@ -78,3 +78,20 @@ def test_read_point_sets_formats():
     assert (k, s, d) == (2, 2, 2)
     structs = pad_structures([[X, Y], [Y, X]])
     assert len(structs) == 2 and structs[0].k == 2
+
+
+def test_point_set_distance_intrinsic_scale_warning():
+    """A requested blur below the set's intrinsic (mean-NN) scale warns,
+    like the reference (point_sets.py:67-75); at/above it stays silent."""
+    import warnings
+
+    s_int = intrinsic_scale(X)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        point_set_distance(X, Y, sigma_x=0.1 * s_int, sigma_y=1.0)
+    assert any("intrinsic scale" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        point_set_distance(X, Y, sigma_x=2.0 * s_int,
+                           sigma_y=2.0 * intrinsic_scale(Y))
+    assert not [w for w in rec if "intrinsic scale" in str(w.message)]

@@ -96,3 +96,15 @@ def test_random_p_large_m_dispatch(monkeypatch):
 
     with pytest.raises(ValueError, match="rff_cg"):
         lddmm.random_p(cfg, q, jax.random.PRNGKey(4), version="svd")
+
+
+def test_random_p_ridge_reroute_warns(monkeypatch):
+    # the silent distribution swap (ridge -> rff_cg above the pair limit)
+    # must be visible to the caller (ADVICE r4)
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(0, 1, size=(64, 2)), jnp.float32)
+    cfg = lddmm.make_config(sigma=0.3, lambd=2.0, version="classic", nt=5)
+    monkeypatch.setattr(red, "DENSE_PAIR_LIMIT", 100)
+    with pytest.warns(UserWarning, match="rff_cg"):
+        lddmm.random_p(cfg, q, jax.random.PRNGKey(0), alpha=0.05,
+                       version="ridge", n_features=128)
