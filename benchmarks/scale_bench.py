@@ -76,7 +76,7 @@ def bench_rhs(dim=2):
 
 
 def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
-                ls_steps=None):
+                ls_steps=None, reg_calls=2, em_iters=10):
     """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
     single program executions running much beyond ~60 s, so at scale each
     partial step is its own (short) program; the pallas fwd+bwd kernels keep
@@ -114,15 +114,14 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
     # dense support: support = all 16k data points per frame (pallas path)
 
     def one_iter():
-        psr.GMM_opt(max_iterations=10, tol=1e-3)
+        psr.GMM_opt(max_iterations=em_iters, tol=1e-3)
         # short registration programs: the axon runtime kills device
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
         ls_kw = {} if ls_steps is None else {"ls_steps": ls_steps}
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
-                    carry_memory=carry, carry_value=carry, **ls_kw)
-        psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
-                    carry_memory=carry, carry_value=carry, **ls_kw)
+        for _ in range(reg_calls):
+            psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
+                        carry_memory=carry, carry_value=carry, **ls_kw)
 
     t0 = time.time()
     one_iter()
@@ -550,9 +549,12 @@ if __name__ == "__main__":
         res["kernels4"] = bench_kernels4(m)
     if which == "atlas65":  # K=10 frames x 65k points each (2.7 Tpair/iter)
         # per-program budget sized for the ~60 s watchdog: one eval here is
-        # 10 frames x 65k loss+grad ~ 4.5 s, so the COLD first program must
-        # not be allowed a deep zoom (the default ls=25 budget ran ~25
-        # evals and crashed the worker)
+        # 10 frames x 65k loss+grad ~ 6.5 s VMAPPED, so the COLD first
+        # program (entry eval + full line search from the 1/||g0|| seed)
+        # must stay <= ~7 evals: inner=1 x ls=6.  (inner=2/ls=8 = up to 17
+        # evals = ~110 s crashed the worker; ls=25 even worse.)  4 carried
+        # Reg programs per outer iteration; steady programs are ~1 eval.
         res["atlas65"] = bench_atlas(k=10, n=65536, n_iter=2,
-                                     carry=True, inner=2, ls_steps=8)
+                                     carry=True, inner=1, ls_steps=6,
+                                     reg_calls=4)
     print(json.dumps(res))

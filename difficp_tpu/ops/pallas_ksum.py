@@ -125,6 +125,7 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
 # kred/hamiltonian cases) keep the simple streaming kernel.
 _BLOCKED_MIN_ROWS = 64
 _BLOCKED_MIN_N = 16384
+_BLOCKED_BUDGET_FLOATS = None  # override seam (tests); None = device-derived
 
 
 def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
@@ -136,7 +137,9 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     # the resident y block shares VMEM with the double-buffered x tile and
     # out tile (2x each under the pipelined grid) — subtract them before
     # sizing the block so the real working set stays under the vmap-safe cap
-    budget = _sym_budget_floats() - 2 * (_HEAD + rows_out) * ti
+    base = (_BLOCKED_BUDGET_FLOATS if _BLOCKED_BUDGET_FLOATS is not None
+            else _sym_budget_floats())
+    budget = base - 2 * (_HEAD + rows_out) * ti
     mby_cap = max(tj, (budget // (_HEAD + rows_out) // tj) * tj)
     nb = -(-n // mby_cap)
     mby = max(tj, -(-(-(-n // nb)) // tj) * tj)

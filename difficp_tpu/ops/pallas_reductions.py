@@ -576,12 +576,16 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
 _MM_MODE = "split3"  # "split3" | "default" | "highest"
 
 # Backward-pass precision policy (the api knob of VERDICT r2 item 4).
-# "fast" = payload-matmul backward kernels: ~10x throughput, relative dq
-# floor ~8e-4 at eta == 0 (worse for the eta != 0 degree-4 monomials) from
-# f32 cancellation of the coordinate-monomial expansion — FE stays monotone
-# on chip at every benched scale.  "accurate" = blockwise-VJP backward:
-# f32-exact (~2e-7), tile-streamed, ~10x slower.  Read at TRACE time: set it
-# BEFORE jitting/tracing the program that should use it.
+# "fast" = payload-matmul backward kernels.  As of r5 the eta == 0 fast
+# backward is ALSO precise on registration-geometry clouds: Morton sorting
+# + per-block-pair re-centered recombination put the dq relative error at
+# ~3.3e-6 (TPU-measured at 131k vs the blockwise f32 VJP; was ~8e-4 with
+# the global-origin epilogue), at ~8% throughput cost (182 vs 199 Gpair/s).
+# "accurate" = blockwise-VJP backward: f32-exact (~2e-7) on ANY geometry,
+# tile-streamed, ~10x slower — still the call for adversarially spread
+# clouds (R/sigma >~ 10, where f32 exp-argument rounding floors the fast
+# path at ~1e-4) or for eta != 0 degree-4 monomials.  Read at TRACE time:
+# set it BEFORE jitting/tracing the program that should use it.
 _BWD_PRECISION = {"mode": "fast"}
 
 
@@ -590,18 +594,32 @@ def set_bwd_precision(mode: str):
     _BWD_PRECISION["mode"] = mode
 
 
-def _mm_dot(k, pt):
+# Matmul mode of the BACKWARD payload contractions (None = global _MM_MODE,
+# i.e. split3).  TPU-measured r5 (benchmarks/bwd_prec_bench.py, 131k): with
+# Morton sorting + per-block-pair centering the split3 backward reaches dq
+# 3.3e-6 on registration-geometry clouds at 182 Gpair/s; "highest" (6-pass
+# f32) costs 25% throughput for NO error gain — the residual floor is f32
+# EXP-ARGUMENT rounding (eps * d2/2sigma^2, amplified by the block-local
+# monomial ratio), which no matmul mode can remove.  Adversarial geometry
+# (N(0,1) at sigma=0.2, R/sigma ~ 15) floors at ~1.7e-4 (was 8e-4 with the
+# global-origin recombination).
+_BWD_MM_MODE = None
+
+
+def _mm_dot(k, pt, mode=None):
     """(TI, TJ) x (ncols, TJ)^T -> (TI, ncols) contraction on the MXU
     (delegates to _mm3 so every kernel shares ONE numerics policy)."""
-    return _mm3(k, pt, (((1,), (1,)), ((), ())))
+    return _mm3(k, pt, (((1,), (1,)), ((), ())), mode=mode)
 
 
-def _mm3(a, b, dn):
-    """dot_general under the _MM_MODE numerics policy, for arbitrary
-    contraction dims.  split3 = 3-pass bf16 emulation of the f32 product
-    (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is O(2^-16) relative).
-    The single implementation behind every payload-matmul kernel."""
-    if _MM_MODE == "split3":
+def _mm3(a, b, dn, mode=None):
+    """dot_general under the _MM_MODE numerics policy (or the explicit
+    ``mode`` override), for arbitrary contraction dims.  split3 = 3-pass
+    bf16 emulation of the f32 product (hi*hi + hi*lo + lo*hi; the dropped
+    lo*lo term is O(2^-16) relative).  The single implementation behind
+    every payload-matmul kernel."""
+    _MM_MODE = mode or globals()["_MM_MODE"]
+    if _MM_MODE in ("split3", "split4"):
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
@@ -610,8 +628,14 @@ def _mm3(a, b, dn):
                                   preferred_element_type=jnp.float32)
         out = out + jax.lax.dot_general(a_hi, b_lo, dn,
                                         preferred_element_type=jnp.float32)
-        return out + jax.lax.dot_general(a_lo, b_hi, dn,
-                                         preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot_general(a_lo, b_hi, dn,
+                                        preferred_element_type=jnp.float32)
+        if _MM_MODE == "split4":
+            # the lo*lo pass split3 drops is the 8e-6 relative floor; with
+            # it, the split reaches the f32-accumulation floor (~3e-7)
+            out = out + jax.lax.dot_general(
+                a_lo, b_lo, dn, preferred_element_type=jnp.float32)
+        return out
     return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
                                precision=_MM_MODE)
 
@@ -715,7 +739,7 @@ def _rhs_self_mm_kernel(blk_ref, full_ref, out_ref, *, sigma, withlogdet,
 
 
 def _rhs_self_bwd_mm_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma,
-                            tj, d):
+                            tj, d, mm_mode=None):
     """Payload-matmul backward of the self RHS (eta == 0).
 
     Same contract as ``_rhs_self_bwd_kernel`` (16-row packing, out rows
@@ -732,15 +756,22 @@ def _rhs_self_bwd_mm_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma,
     idx = _bwd_col_table(d)
     ncols = len(idx)
 
-    qi = [blk_ref[dd, :][:, None] for dd in range(d)]
-    pi = [blk_ref[d + dd, :][:, None] for dd in range(d)]
     mi = blk_ref[2 * d, :][:, None]
+    # per-x-tile coordinate re-centering (dq-precision fix): the telescoped
+    # row-side identities are origin-invariant, so shift q to the tile's
+    # masked centroid — with Morton-sorted inputs (see the wrapper) the
+    # monomial magnitudes drop from the cloud radius to the tile radius +
+    # kernel support, collapsing the (R/sigma)^2 cancellation amplification
+    msum = jnp.maximum(jnp.sum(mi), 1.0)
+    cq = [jnp.sum(blk_ref[dd, :][:, None] * mi) / msum for dd in range(d)]
+    qi = [blk_ref[dd, :][:, None] - cq[dd] for dd in range(d)]
+    pi = [blk_ref[d + dd, :][:, None] for dd in range(d)]
     Gi = [blk_ref[2 * d + 1 + dd, :][:, None] * mi for dd in range(d)]
     Hi = [blk_ref[3 * d + 1 + dd, :][:, None] * mi for dd in range(d)]
 
     def body(jt, acc):
         j0 = jt * tj
-        qj = [full_ref[dd, pl.ds(j0, tj)] for dd in range(d)]
+        qj = [full_ref[dd, pl.ds(j0, tj)] - cq[dd] for dd in range(d)]
         pj = [full_ref[d + dd, pl.ds(j0, tj)] for dd in range(d)]
         mj = full_ref[2 * d, pl.ds(j0, tj)]
         Gj = [full_ref[2 * d + 1 + dd, pl.ds(j0, tj)] * mj for dd in range(d)]
@@ -782,7 +813,7 @@ def _rhs_self_bwd_mm_kernel(blk_ref, full_ref, gc_ref, out_ref, *, sigma,
                 for f in range(d):
                     rows[idx[("qqp", a, b, f)]] = qj[a] * qj[b] * pj[f]
         pt = jnp.stack(rows, axis=0)
-        return acc + _mm_dot(k, pt)
+        return acc + _mm_dot(k, pt, mode=mm_mode)
 
     acc = jax.lax.fori_loop(
         0, n_j, body, jnp.zeros((ti, ncols), jnp.float32)
@@ -1184,12 +1215,13 @@ def _rhs_self_sym_pair_kernel(blka_ref, fullb_ref, ta_ref, tb_ref, *,
             d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
         kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
 
-        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
+        mm = _BWD_MM_MODE if bwd else None
+        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())), mode=mm)
         if same_block:
             off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
         else:
             off = jnp.float32(1.0)
-        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())))
+        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())), mode=mm)
         tb_ref[:, pl.ds(j0, t)] += contrib * off
         return acc
 
@@ -1357,12 +1389,119 @@ def _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc, sigma, d):
     return (jnp.stack(dq_cols, axis=1), jnp.stack(dp_cols, axis=1))
 
 
-def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
-    """Symmetric-pair backward wrapper: python-level unordered block pairs
-    (each pallas call handles one pair under the VMEM budget), partial
-    tables summed in jnp, then one epilogue.  Same contract as
-    ``_rhs_self_bwd_mm``."""
+def _morton_order(q, mask, bits=10):
+    """Spatial (Morton / Z-curve) sort permutation: quantize each masked
+    coordinate to ``bits`` inside the masked bounding box and interleave
+    the bits.  Sorting by the code makes index-contiguous blocks spatially
+    LOCAL, which is what lets per-block-pair re-centering shrink the
+    coordinate monomials the payload-matmul backward accumulates (the
+    cancellation-amplification fix — see ``_rhs_self_bwd_sym_mm``).
+    Masked points sort to the end.  bits * d + 1 must fit int32 (d <= 3)."""
     m, d = q.shape
+    on = mask[:, None] > 0
+    lo = jnp.min(jnp.where(on, q, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(on, q, -jnp.inf), axis=0)
+    span = jnp.maximum(hi - lo, 1e-30)
+    scale = (2.0**bits - 1.0) / span
+    qq = jnp.clip((q - lo) * scale, 0.0, 2.0**bits - 1.0).astype(jnp.int32)
+    code = jnp.zeros((m,), jnp.int32)
+    for b in range(bits):
+        for dd in range(d):
+            bit = (qq[:, dd] >> b) & 1
+            code = code | (bit << (b * d + dd))
+    code = jnp.where(mask > 0, code, jnp.int32(1) << (bits * d))
+    return jnp.argsort(code)
+
+
+def _sym_block_grads(packed, mpad, mb, t, sigma, d, rows_total, gc):
+    """Per-block-pair table + EPILOGUE accumulation with per-pair coordinate
+    re-centering (the dq-precision fix, VERDICT r4 item 4).
+
+    The old scheme summed the 45/104-row kernel-sum tables globally and
+    recombined once: the telescoped row-side identities then cancel
+    R-sized accumulations down to O(sigma)-sized results, amplifying the
+    matmul-split error by (R/sigma)^2 — the measured ~8e-4 dq floor.  The
+    epilogue is LINEAR in the table and each pair's contribution is
+    origin-invariant, so instead each unordered block pair (a, b) is
+    computed at its OWN origin (the pair's masked centroid, subtracted from
+    the packed coordinate rows in jnp — the kernel is unchanged) and
+    recombined immediately; with Morton-sorted inputs the blocks are
+    spatially local, so the monomial magnitudes drop from the cloud radius
+    to the block radius + kernel support and the amplification collapses.
+    Epilogue cost: O(nb * M) jnp work vs O(M^2/2) pair work — negligible."""
+    nb = mpad // mb
+    dq_blocks = [jnp.zeros((mb, d), jnp.float32) for _ in range(nb)]
+    dp_blocks = [jnp.zeros((mb, d), jnp.float32) for _ in range(nb)]
+
+    def side_arrays(blk_s, blk):
+        # (shifted q, p, mask, gv, gg) column views of a 16-row packed block
+        return (blk_s[:d].T, blk[d:2 * d].T, blk[2 * d],
+                blk[2 * d + 1:3 * d + 1].T, blk[3 * d + 1:4 * d + 1].T)
+
+    for a in range(nb):
+        blk_a = packed[:, a * mb:(a + 1) * mb]
+        for b in range(a + 1):
+            blk_b = packed[:, b * mb:(b + 1) * mb]
+            wa, wb = blk_a[2 * d], blk_b[2 * d]
+            wsum = jnp.maximum(jnp.sum(wa) + jnp.sum(wb), 1.0)
+            c = [(jnp.sum(blk_a[dd] * wa) + jnp.sum(blk_b[dd] * wb)) / wsum
+                 for dd in range(d)]
+            shift = jnp.zeros((16,), jnp.float32)
+            for dd in range(d):
+                shift = shift.at[dd].set(c[dd])
+            blk_a_s = blk_a - shift[:, None]
+            blk_b_s = blk_b - shift[:, None]
+            kernel = functools.partial(
+                _rhs_self_sym_pair_kernel, sigma=float(sigma), t=t,
+                d=d, rows_total=rows_total, same_block=(a == b), mode="bwd",
+            )
+            ta, tb = pl.pallas_call(
+                kernel,
+                grid=(mb // t,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((rows_total, t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_total, mb), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                    jax.ShapeDtypeStruct((rows_total, mb), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                ),
+                interpret=_interpret(),
+            )(blk_a_s, blk_b_s)
+            qa, pa, ma, gva, gga = side_arrays(blk_a_s, blk_a)
+            dqa, dpa = _bwd_sym_epilogue(ta, qa, pa, ma, gva, gga, gc,
+                                         sigma, d)
+            dq_blocks[a] = dq_blocks[a] + dqa
+            dp_blocks[a] = dp_blocks[a] + dpa
+            qb, pb, mb_, gvb, ggb = side_arrays(blk_b_s, blk_b)
+            dqb, dpb = _bwd_sym_epilogue(tb, qb, pb, mb_, gvb, ggb, gc,
+                                         sigma, d)
+            dq_blocks[b] = dq_blocks[b] + dqb
+            dp_blocks[b] = dp_blocks[b] + dpb
+    return (jnp.concatenate(dq_blocks, axis=0),
+            jnp.concatenate(dp_blocks, axis=0))
+
+
+def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
+    """Symmetric-pair backward wrapper: Morton-sort the points, then
+    python-level unordered block pairs (each pallas call handles one pair
+    under the VMEM budget) recombined PER PAIR at the pair's own centroid
+    (see ``_sym_block_grads`` — the dq-precision fix), then unsort.  Same
+    contract as ``_rhs_self_bwd_mm``."""
+    m, d = q.shape
+    perm = _morton_order(q, mask)
+    inv = jnp.argsort(perm)
+    q, p, mask = q[perm], p[perm], mask[perm]
+    gv, gg = gv[perm], gg[perm]
     idx = _bwd_col_table(d)
     rows_total = -(-len(idx) // 8) * 8  # pad sublanes to a multiple of 8
     # VMEM per pair call = two 16-row input blocks + the (rows_total, mb)
@@ -1387,15 +1526,21 @@ def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768):
         packed = packed.at[i, :m].set(c)
     gc_arr = jnp.asarray(gc, jnp.float32)
 
-    T = _sym_block_tables(packed, mpad, mb, t, sigma, d, rows_total,
-                          "bwd")[:, :m]
-    return _bwd_sym_epilogue(T, q, p, mask, gv, gg, gc_arr, sigma, d)
+    dq, dp = _sym_block_grads(packed, mpad, mb, t, sigma, d, rows_total,
+                              gc_arr)
+    return dq[:m][inv], dp[:m][inv]
 
 
 def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):
     """Payload-matmul backward wrapper (same contract as
-    ``_rhs_self_bwd_pallas``)."""
+    ``_rhs_self_bwd_pallas``).  Morton-sorts the inputs so the kernel's
+    per-x-tile re-centering sees spatially local tiles (dq-precision fix),
+    unsorts the gradients."""
     m, d = q.shape
+    perm = _morton_order(q, mask)
+    inv = jnp.argsort(perm)
+    q, p, mask = q[perm], p[perm], mask[perm]
+    gv, gg = gv[perm], gg[perm]
     step = max(ti, tj)
     mpad = -(-m // step) * step
     rows16 = 16
@@ -1407,7 +1552,7 @@ def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):
     for i, c in enumerate(cols):
         packed = packed.at[i, :m].set(c)
     kernel = functools.partial(_rhs_self_bwd_mm_kernel, sigma=float(sigma),
-                               tj=tj, d=d)
+                               tj=tj, d=d, mm_mode=_BWD_MM_MODE)
     out = pl.pallas_call(
         kernel,
         grid=(mpad // ti,),
@@ -1424,7 +1569,7 @@ def _rhs_self_bwd_mm(q, p, mask, gv, gg, gc, sigma, ti=256, tj=512):
     )(packed, packed, jnp.reshape(gc.astype(jnp.float32), (1, 1)))
     dq = out[0:d, :m].T
     dp = out[d : 2 * d, :m].T
-    return dq, dp
+    return dq[inv], dp[inv]
 
 
 def _vx_mm_kernel(xblk_ref, q_ref, out_ref, *, sigma, withlogdet, tj, d):

@@ -67,6 +67,9 @@ class LBFGSResult(NamedTuple):
     aux: any = None   # with ``has_aux``: the auxiliary output of lossfn AT
     #   the best evaluation (e.g. the arrival ShootState — saves callers the
     #   re-shoot at the returned params, reference optim.py re-evaluates)
+    n_evals: any = None  # total line-search loss+grad evaluations this call
+    #   (excludes the entry eval); observability for program sizing under
+    #   the execution watchdog — read it to budget inner/ls at scale
     memory: any = None  # final L-BFGS curvature memory (LBFGSMemory); feed
     #   back as ``memory0`` of the next call on the same problem so a
     #   watchdog-split sequence of short calls behaves like the reference's
@@ -300,14 +303,14 @@ def _make_linesearch(vg, max_steps: int, errthresh):
                     bx, bf, bg, baux)
 
         out = jax.lax.while_loop(cond, body, carry0)
-        (_, done, _, was_acc, _, a_lo, f_lo, _, g_lo, _, _, _, _,
+        (k_end, done, _, was_acc, _, a_lo, f_lo, _, g_lo, _, _, _, _,
          acc_a, acc_f, acc_g, bx, bf, bg, baux) = out
         # budget exhausted: fall back to lo (Armijo-satisfying by
         # invariant; a_lo = 0 means "no move", a safe stall)
         acc_a = jnp.where(done, acc_a, a_lo)
         acc_f = jnp.where(done, acc_f, f_lo)
         acc_g = jnp.where(done, acc_g, g_lo)
-        return acc_a, acc_f, acc_g, was_acc, bx, bf, bg, baux
+        return acc_a, acc_f, acc_g, was_acc, bx, bf, bg, baux, k_end
 
     return linesearch
 
@@ -457,7 +460,7 @@ def lbfgs_optimize(
         # at bookkeeping-only cost.
         def inner_step(carry, _):
             (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-             a_first, act) = carry
+             a_first, act, nev) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
             dg = _dot(g_clean, d)
@@ -471,8 +474,9 @@ def lbfgs_optimize(
             # trial (Nocedal & Wright p.142)
             a1 = jnp.where(count == 0, alpha_h.astype(fd),
                            jnp.ones((), fd))
-            acc_a, acc_f, acc_g, acc_ok, bx, bf, bg, baux = linesearch(
+            acc_a, acc_f, acc_g, acc_ok, bx, bf, bg, baux, ls_k = linesearch(
                 x, fx, gx, d, a1, bx, bf, bg, baux)
+            nev = nev + ls_k
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
@@ -517,44 +521,45 @@ def lbfgs_optimize(
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
             return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf, bg,
-                    baux, a_first, act), None
+                    baux, a_first, act, nev), None
 
         return inner_step
 
     def outer_cond(carry):
-        i, change, ref = carry[0], carry[-2], carry[-1]
+        i, change, ref = carry[0], carry[-3], carry[-2]
         keep = jnp.logical_and(i < nmax,
                                change > tol * jnp.maximum(ref, 1e-30))
         return jnp.logical_or(i == 0, keep)
 
     def outer_body(carry):
         (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         change, ref) = carry
+         change, ref, nev) = carry
         active = outer_cond(carry)
         prev = x
         (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         _), _ = \
+         _, nev), _ = \
             jax.lax.scan(
                 make_inner_step(active),
                 (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                 a_first, active),
+                 a_first, active, nev),
                 None, length=inner,
             )
         dx = x - prev
         change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
         ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
         return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                a_first, change, ref)
+                a_first, change, ref, nev)
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
         pos0, count0,
         best_x0, best_f0, g0, baux0, jnp.zeros((), jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(0),
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
     (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-     change, ref) = out
+     change, ref, nev) = out
 
     # Warm-start value for the next call: the first TRULY accepted
     # (steepest-descent-scale) step, confined to an asymmetric trust
@@ -576,6 +581,7 @@ def lbfgs_optimize(
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
                        change=change, alpha=alpha,
                        aux=baux if has_aux else None,
+                       n_evals=nev,
                        memory=LBFGSMemory(S=S, Y=Y, rho=rho, pos=pos,
                                           count=count),
                        grad=unravel(bg))

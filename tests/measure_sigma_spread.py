@@ -30,6 +30,19 @@ import torch  # noqa: E402
 
 torch.set_default_dtype(torch.float32)
 
+# the reference's torch fallback of check_coverage is broken (kernel.py:328,
+# "not tested"); same patch make_goldens applies inside its golden fns
+from diffICP.tools.kernel import GaussKernel  # noqa: E402
+
+
+def _check_coverage(self, X, Y, Rthreshold):
+    return ((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1).min(dim=1).values > (
+        Rthreshold * self.sigma
+    ) ** 2
+
+
+GaussKernel.check_coverage = _check_coverage
+
 
 def run_basic(jitter_seed=None, eps=1e-4):
     from diffICP.core.LDDMM import LDDMMModel
