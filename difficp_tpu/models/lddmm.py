@@ -168,6 +168,8 @@ class OptimizeResult(NamedTuple):
     #   the UNCHANGED objective (same q0/x0/dataloss) to skip its entry
     #   value_and_grad — at scale that eval is a full fwd+bwd shoot, half
     #   of a steady nmax=1 step
+    n_evals: any = None  # total line-search loss+grad evaluations (each a
+    #   full fwd+bwd shoot) — observability for watchdog program sizing
 
 
 def _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask):
@@ -253,7 +255,7 @@ def optimize(
     return OptimizeResult(
         p0=res.params, final=final, trajl=trajl, datal=datal,
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
-        memory=res.memory, grad=res.grad,
+        memory=res.memory, grad=res.grad, n_evals=res.n_evals,
     )
 
 

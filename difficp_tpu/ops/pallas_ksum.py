@@ -90,7 +90,8 @@ def _ksum_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, rows_out):
     out_ref[...] += _mm3(pt, k, (((1,), (1,)), ((), ())))
 
 
-def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
+def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out,
+                         skew=False):
     """One x-tile against a VMEM-RESIDENT y block (coords+mask+payload
     table).  Same math as ``_ksum_kernel``, but the j loop runs in-kernel
     over the resident block instead of re-streaming (8 + rows_out)-row
@@ -102,20 +103,43 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
     ti = x_ref.shape[1]
     n_j = y_ref.shape[1] // tj
 
-    def body(jt, acc):
-        j0 = jt * tj
+    def make_k(jt):
+        # clamped index: the skewed prefetch of the final iteration reads a
+        # valid (discarded) tile instead of running out of bounds
+        j0 = jnp.minimum(jt, n_j - 1) * tj
         yj = [y_ref[dd, pl.ds(j0, tj)][None, :] for dd in range(d)]
         mj = y_ref[d, pl.ds(j0, tj)][None, :]
         d2 = (xi[0] - yj[0]) ** 2
         for dd in range(1, d):
             d2 = d2 + (xi[dd] - yj[dd]) ** 2
-        k = jnp.exp(-0.5 * d2 * u) * mj                 # (TI, TJ)
-        pt = y_ref[_HEAD:_HEAD + rows_out, pl.ds(j0, tj)]
-        return acc + _mm3(pt, k, (((1,), (1,)), ((), ())))
+        return jnp.exp(-0.5 * d2 * u) * mj              # (TI, TJ)
 
-    out_ref[...] = jax.lax.fori_loop(
-        0, n_j, body, jnp.zeros((rows_out, ti), jnp.float32)
-    )
+    if skew:
+        # software-pipelined: the exp tile (VPU) runs one iteration ahead
+        # of its matmul (MXU).  Only profitable at tj <= 256 — at tj=512
+        # the 512 KB f32 carry forces per-iteration copies (measured 93 vs
+        # 138 Gpair/s on the 121-col backward at 131k)
+        def body(jt, carry):
+            acc, k_cur = carry
+            k_next = make_k(jt + 1)
+            pt = y_ref[_HEAD:_HEAD + rows_out, pl.ds(jt * tj, tj)]
+            acc = acc + _mm3(pt, k_cur, (((1,), (1,)), ((), ())))
+            return acc, k_next
+
+        acc, _ = jax.lax.fori_loop(
+            0, n_j, body,
+            (jnp.zeros((rows_out, ti), jnp.float32), make_k(0)),
+        )
+        out_ref[...] = acc
+    else:
+        def body(jt, acc):
+            k = make_k(jt)
+            pt = y_ref[_HEAD:_HEAD + rows_out, pl.ds(jt * tj, tj)]
+            return acc + _mm3(pt, k, (((1,), (1,)), ((), ())))
+
+        out_ref[...] = jax.lax.fori_loop(
+            0, n_j, body, jnp.zeros((rows_out, ti), jnp.float32)
+        )
 
 
 # wide-table y-resident dispatch: above this payload width the per-x-tile
@@ -126,6 +150,10 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out):
 _BLOCKED_MIN_ROWS = 64
 _BLOCKED_MIN_N = 16384
 _BLOCKED_BUDGET_FLOATS = None  # override seam (tests); None = device-derived
+# skewed-pipeline A/B knob: set to a tile width (e.g. 256) to run the
+# blocked kernel software-pipelined at that tj; None = plain loop at the
+# caller's tj (the measured default — see _ksum_blocked_kernel)
+_BLOCKED_SKEW_TJ = None
 
 
 def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
@@ -134,12 +162,17 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     python-level loop over equal y blocks sized to the VMEM budget; each
     pallas call sweeps all x tiles against one resident block, partial
     tables summed in jnp."""
+    skew = _BLOCKED_SKEW_TJ is not None
+    if skew:
+        tj = _BLOCKED_SKEW_TJ
     # the resident y block shares VMEM with the double-buffered x tile and
     # out tile (2x each under the pipelined grid) — subtract them before
     # sizing the block so the real working set stays under the vmap-safe cap
     base = (_BLOCKED_BUDGET_FLOATS if _BLOCKED_BUDGET_FLOATS is not None
             else _sym_budget_floats())
     budget = base - 2 * (_HEAD + rows_out) * ti
+    if skew:
+        budget -= 3 * ti * tj  # the carried exp tile + in-flight successor
     mby_cap = max(tj, (budget // (_HEAD + rows_out) // tj) * tj)
     nb = -(-n // mby_cap)
     mby = max(tj, -(-(-(-n // nb)) // tj) * tj)
@@ -152,7 +185,7 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
         yblk = ypack[:, b * mby:(b + 1) * mby]
         part = pl.pallas_call(
             functools.partial(_ksum_blocked_kernel, d=d, tj=tj,
-                              rows_out=rows_out),
+                              rows_out=rows_out, skew=skew),
             grid=(nx_pad // ti,),
             in_specs=[
                 pl.BlockSpec((_HEAD, ti), lambda i: (0, i),
@@ -254,27 +287,37 @@ def _ksum_sym_pair_kernel(ca_ref, ta_in_ref, cb_ref, tb_in_ref, sig_ref,
     qi = [ca_ref[dd, :] for dd in range(d)]
     pload_i = ta_in_ref[...]
     n_j = cb_ref.shape[1] // t
+    hi = i + 1 if same_block else n_j
 
-    def body(jt, acc):
-        j0 = jt * t
+    def make_k(jt):
+        # clamped so the skewed prefetch of the final iteration stays in
+        # bounds (the extra tile's result is discarded)
+        j0 = jnp.minimum(jt, hi - 1) * t
         qj = [cb_ref[dd, pl.ds(j0, t)] for dd in range(d)]
         d2 = (qi[0][:, None] - qj[0][None, :]) ** 2
         for dd in range(1, d):
             d2 = d2 + (qi[dd][:, None] - qj[dd][None, :]) ** 2
-        kraw = jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
-        pload_j = tb_in_ref[:, pl.ds(j0, t)]
-        acc = acc + _mm3(pload_j, kraw, (((1,), (1,)), ((), ())))
+        return jnp.exp(-0.5 * d2 * u)  # computed ONCE per tile pair
+
+    # software-pipelined: the exp tile (VPU) is computed one iteration
+    # AHEAD of its two MXU contractions so the engines overlap (same skew
+    # as the hand-written sym pair kernel — worth +15-25% at 131k)
+    def body(jt, carry):
+        acc, k_cur = carry
+        k_next = make_k(jt + 1)
+        pload_j = tb_in_ref[:, pl.ds(jt * t, t)]
+        acc = acc + _mm3(pload_j, k_cur, (((1,), (1,)), ((), ())))
         if same_block:
             off = jnp.where(jt == i, 0.0, 1.0).astype(jnp.float32)
         else:
             off = jnp.float32(1.0)
-        contrib = _mm3(pload_i, kraw, (((1,), (0,)), ((), ())))
-        tb_ref[:, pl.ds(j0, t)] += contrib * off
-        return acc
+        contrib = _mm3(pload_i, k_cur, (((1,), (0,)), ((), ())))
+        tb_ref[:, pl.ds(jt * t, t)] += contrib * off
+        return acc, k_next
 
-    hi = i + 1 if same_block else n_j
-    acc = jax.lax.fori_loop(
-        0, hi, body, jnp.zeros((rows_out, t), jnp.float32)
+    acc, _ = jax.lax.fori_loop(
+        0, hi, body,
+        (jnp.zeros((rows_out, t), jnp.float32), make_k(0)),
     )
     ta_ref[...] = acc
 
@@ -300,7 +343,9 @@ def pairwise_ksum_sym(var_rows, d, mask_row, monos, sigma, t=256, mb=None):
     ncols = len(monos)
     rows_out = -(-ncols // 8) * 8
     if mb is None:
-        budget = _sym_budget_floats()  # vmap-safe (see pallas_reductions)
+        # vmap-safe budget (see pallas_reductions) minus the software-
+        # pipeline carry (the skewed (t, t) exp tile, ~2x live in handoff)
+        budget = _sym_budget_floats() - 2 * t * t
         mb_max = budget // (2 * rows_out + 8)
         mb_max = max(t, min(65536, (mb_max // t) * t))
         # block count first, then the smallest t-aligned block that covers
