@@ -557,4 +557,9 @@ if __name__ == "__main__":
         res["atlas65"] = bench_atlas(k=10, n=65536, n_iter=2,
                                      carry=True, inner=1, ls_steps=6,
                                      reg_calls=4)
+    if which == "k64big":  # north-star: K=64 frames x NON-TOY N=4096 each
+        # (64 x 4096^2 x nt x fwd+bwd ~ 21 Gpair/eval; carried stepwise
+        # programs stay well under the watchdog at inner=2)
+        res["k64big"] = bench_atlas(k=64, n=4096, n_iter=3, carry=True,
+                                    inner=2, ls_steps=8, reg_calls=2, c=20)
     print(json.dumps(res))

@@ -23,25 +23,34 @@ from difficp_tpu.models import gmm, lddmm
 from difficp_tpu.models.psr import DiffPSR
 
 
-def spiral_cloud(n, rng, noise=0.02):
+def spiral_cloud(n, rng, noise=0.02, dim=2):
     t = rng.uniform(0, 2 * np.pi, size=n).astype(np.float32)
-    pts = np.stack(
-        [0.5 + 0.4 * (t / 7) * np.cos(t), 0.5 + 0.3 * np.sin(t)], 1
-    ) + noise * rng.normal(size=(n, 2))
+    cols = [0.5 + 0.4 * (t / 7) * np.cos(t), 0.5 + 0.3 * np.sin(t)]
+    if dim == 3:
+        # helix: the 2D spiral lifted along z (a 3D anatomy-like curve sheet)
+        cols.append(0.5 + 0.25 * (t / (2 * np.pi)))
+    pts = np.stack(cols, 1) + noise * rng.normal(size=(n, dim))
     return pts.astype(np.float32)
 
 
-def main(n_points=131072, n_iter=3, c_gmm=64, inner=None, ls_steps=25):
+def warp(x, dim):
+    if dim == 2:
+        d = np.stack([np.sin(3 * x[:, 1]), np.cos(3 * x[:, 0])], 1)
+    else:
+        d = np.stack([np.sin(3 * x[:, 1]), np.cos(3 * x[:, 2]),
+                      np.sin(3 * x[:, 0])], 1)
+    return x + 0.05 * d.astype(np.float32)
+
+
+def main(n_points=131072, n_iter=3, c_gmm=64, inner=None, ls_steps=25,
+         dim=2):
     if inner is None:
         # keep each registration program safely under execution watchdogs
         inner = 1 if n_points > 100_000 else 2
     rng = np.random.default_rng(0)
-    x_a = spiral_cloud(n_points, rng)
+    x_a = spiral_cloud(n_points, rng, dim=dim)
     # target: a warped copy (smooth sinusoidal deformation)
-    x_b = spiral_cloud(n_points, rng)
-    x_b = x_b + 0.05 * np.stack(
-        [np.sin(3 * x_b[:, 1]), np.cos(3 * x_b[:, 0])], 1
-    ).astype(np.float32)
+    x_b = warp(spiral_cloud(n_points, rng, dim=dim), dim)
 
     # GMM over the target with C components (sub-sampled centroids)
     mu0 = x_b[rng.integers(0, n_points, c_gmm)]
@@ -79,5 +88,7 @@ if __name__ == "__main__":
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--inner", type=int, default=None)
+    ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
     args = ap.parse_args()
-    main(n_points=args.points, n_iter=args.iters, inner=args.inner)
+    main(n_points=args.points, n_iter=args.iters, inner=args.inner,
+         dim=args.dim)

@@ -543,7 +543,8 @@ def make_rhs_self(sigma: float, eta: float, withlogdet: bool,
         # fwd's shift exactly.
         qc = q - _mm_center(q, mask)
         if q.shape[0] >= _SYM_BWD_MIN_M:
-            dq, dp = _rhs_self_bwd_sym_mm(qc, p, mask, gv, gg, gc, sigma, ti)
+            # no explicit tile: _rhs_self_bwd_sym_mm picks (t, skew) by d
+            dq, dp = _rhs_self_bwd_sym_mm(qc, p, mask, gv, gg, gc, sigma)
         else:
             dq, dp = _rhs_self_bwd_mm(qc, p, mask, gv, gg, gc, sigma, ti, tj)
         return dq, dp, None
@@ -1526,14 +1527,23 @@ def _sym_block_grads(packed, mpad, mb, t, sigma, d, rows_total, gc,
             jnp.concatenate(dp_blocks, axis=0))
 
 
-def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=256, mb=32768,
-                         skew=True):
+def _rhs_self_bwd_sym_mm(q, p, mask, gv, gg, gc, sigma, t=None, mb=32768,
+                         skew=None):
     """Symmetric-pair backward wrapper: Morton-sort the points, then
     python-level unordered block pairs (each pallas call handles one pair
     under the VMEM budget) recombined PER PAIR at the pair's own centroid
     (see ``_sym_block_grads`` — the dq-precision fix), then unsort.  Same
     contract as ``_rhs_self_bwd_mm``."""
     m, d = q.shape
+    # tile/skew sweep (TPU v5e, 131k, benchmarks/d3_bwd_sweep.py): d=2 is
+    # best at t=256 with the skewed pipeline (216 Gpair/s); the 104-row
+    # d=3 table flips — t=512 unskewed 154 vs t=256 skewed 121 (the wide
+    # skew carry forces copies, and the bigger tile amortizes the
+    # dual-table read-modify-write per pair)
+    if t is None:
+        t = 256 if d == 2 else 512
+    if skew is None:
+        skew = d == 2
     perm = _morton_order(q, mask)
     inv = jnp.argsort(perm)
     q, p, mask = q[perm], p[perm], mask[perm]

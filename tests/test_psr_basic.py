@@ -52,9 +52,14 @@ def test_basic_run_matches_reference():
     fe_ref = float(REF["FE_seq"][-1])
     assert abs(psr.FE - fe_ref) < 0.01 * abs(fe_ref), (psr.FE, fe_ref)
 
-    # sigma of the GMM converges to the same value
+    # sigma of the GMM converges to the same value.  Tolerance traceable to
+    # measurement (tests/measure_sigma_spread.py, goldens/sigma_spread.json):
+    # the torch reference's final sigma moves 7.7e-4 relative under 1e-4
+    # input jitter, and our implementation lands 1.1e-4 relative from the
+    # reference value — assert at 2e-3 (~2.6x the reference's own spread;
+    # was rtol=0.05 before the r5 measurement).
     np.testing.assert_allclose(
-        float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=0.05
+        float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=2e-3
     )
 
     # warped points land on the same configuration
