@@ -171,7 +171,7 @@ def _reg_opt_lddmm(
         return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
                 uncovered, res.alpha,
                 res.memory if carry_mem else jnp.zeros((), jnp.float32),
-                (res.grad, res.final, res.trajl, res.datal))
+                (res.grad, res.final, res.trajl, res.datal), res.n_evals)
 
     return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0,
                          mem0, vg0)
@@ -627,7 +627,11 @@ class DiffPSR(MultiPSR):
             nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
             alpha0=alpha0, mem0=mem0, vg0=vg0,
         )
-        a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem, vg = out
+        a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem, vg, \
+            nevals = out
+        # per-frame line-search eval counts of this call (observability for
+        # watchdog program sizing; each eval is a full fwd+bwd shoot)
+        self.last_reg_evals = nevals
         self._reg_alpha = alpha  # warm-start the next call's line search
         if carry_memory:
             self._reg_memory = mem

@@ -43,11 +43,22 @@ def test_multi_atlas_matches_reference():
         fes.append(psr.FE)
 
     fe_ref = float(REF["FE_seq"][n_iter - 1])
-    # free energy within 2% of the torch reference run at the same iteration
+    # free energy within 1% of the torch reference run at the same iteration
     assert abs(psr.FE - fe_ref) < 0.01 * abs(fe_ref), (psr.FE, fe_ref)
-    # GMM sigma converges to the same noise scale (ref value is at 15 iters)
+    # GMM sigma at the MATCHED iteration count (the golden's final_sigma is
+    # at 15 iterations; comparing iteration 8 against it measured 11%
+    # mid-convergence gap — that was the old rtol=0.15).  Run the remaining
+    # 7 alternations and assert at rtol 0.05, traceable to measurement
+    # (tests/measure_sigma_spread.py, goldens/sigma_spread.json): reference
+    # run-to-run spread under 1e-4 jitter = 4.7e-4 relative; our
+    # implementation's matched-iteration deviation = 2.45e-2 (optimizer-
+    # path divergence of the multimodal C=20 clustering, ~2x headroom).
+    for it in range(n_iter, 15):
+        psr.GMM_opt(max_iterations=25, tol=1e-3)
+        psr.Reg_opt(tol=1e-3, nmax=10)
+        fes.append(psr.FE)
     np.testing.assert_allclose(
-        float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=0.15
+        float(psr.gmm[0].sigma), float(REF["final_sigma"]), rtol=0.05
     )
     # warped point clouds match the reference's registered configuration:
     # compare mean nearest-neighbour distance between both results per frame
