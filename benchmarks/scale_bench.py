@@ -119,12 +119,12 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
         # programs running much past ~60 s, so cap L-BFGS work per program
         # (inner steps x linesearch evals x nt x fwd+bwd kernel time)
         ls_kw = {} if ls_steps is None else {"ls_steps": ls_steps}
-        evs = []
         for _ in range(reg_calls):
             psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
                         carry_memory=carry, carry_value=carry, **ls_kw)
-            evs.append(int(np.max(np.asarray(psr.last_reg_evals))))
-        print(f"  reg evals/call (max lane): {evs}", flush=True)
+            print(f"  reg evals/lane: {np.asarray(psr.last_reg_evals)} "
+                  f"FE={psr.FE:.1f} alpha={np.asarray(psr._reg_alpha)}",
+                  flush=True)
 
     t0 = time.time()
     one_iter()

@@ -159,6 +159,8 @@ class OptimizeResult(NamedTuple):
     change: jax.Array
     alpha: jax.Array = jnp.asarray(0.0)  # accepted line-search step size
     #   (warm-start the next optimize on the same frame with alpha0=alpha)
+    alpha_qn: jax.Array = jnp.asarray(1.0)  # adaptive quasi-Newton trial
+    #   scale (thread as alpha_qn0 — see utils/lbfgs.LBFGSResult.alpha_qn)
     memory: any = None  # L-BFGS curvature memory — thread into the next
     #   optimize on the same frame (memory0=...) so watchdog-split short
     #   calls keep quasi-Newton convergence instead of restarting as
@@ -211,6 +213,7 @@ def optimize(
     inner: int = 20,
     max_linesearch_steps: int = 25,
     alpha0=None,
+    alpha_qn0=None,
     memory0=None,
     warm_vg=None,
 ) -> OptimizeResult:
@@ -248,13 +251,14 @@ def optimize(
     res = lbfgs_optimize(
         lossfn_aux, p0, nmax=nmax, inner=inner, tol=tol,
         errthresh=errthresh, max_linesearch_steps=max_linesearch_steps,
-        alpha0=alpha0, has_aux=True, memory0=memory0,
+        alpha0=alpha0, alpha_qn0=alpha_qn0, has_aux=True, memory0=memory0,
         value0=value0, grad0=grad0, aux0=aux0,
     )
     final, trajl, datal = res.aux
     return OptimizeResult(
         p0=res.params, final=final, trajl=trajl, datal=datal,
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
+        alpha_qn=res.alpha_qn,
         memory=res.memory, grad=res.grad, n_evals=res.n_evals,
     )
 

@@ -97,7 +97,7 @@ def _frame_quad_dataloss(yk, sig2k, xmk, wk):
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
     coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25, alpha0=None,
-    mem0=None, vg0=None,
+    mem0=None, vg0=None, alpha_qn0=None,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
@@ -125,8 +125,10 @@ def _reg_opt_lddmm(
     carry_vg = vg0 is not None
     if not carry_vg:
         vg0 = jnp.zeros((q0.shape[0],), jnp.float32)
+    if alpha_qn0 is None:
+        alpha_qn0 = jnp.ones((q0.shape[0],), jnp.float32)
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, vgk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, vgk, aqnk):
         dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         res = lddmm_mod.optimize(
             lcfg,
@@ -141,6 +143,7 @@ def _reg_opt_lddmm(
             inner=inner,
             max_linesearch_steps=ls_steps,
             alpha0=alk if warm else None,
+            alpha_qn0=aqnk,
             memory0=memk if carry_mem else None,
             warm_vg=vgk if carry_vg else None,
         )
@@ -171,10 +174,11 @@ def _reg_opt_lddmm(
         return (res.p0, x1k, res.trajl, res.datal, res.n_steps, res.change,
                 uncovered, res.alpha,
                 res.memory if carry_mem else jnp.zeros((), jnp.float32),
-                (res.grad, res.final, res.trajl, res.datal), res.n_evals)
+                (res.grad, res.final, res.trajl, res.datal), res.n_evals,
+                res.alpha_qn)
 
     return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0,
-                         mem0, vg0)
+                         mem0, vg0, alpha_qn0)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
@@ -213,6 +217,7 @@ def _run_loop_lddmm(
     gstates, q0, a0, x0, x1, qmask, xmask,
     gcfgs, lcfg, slices, n_outer, max_em, em_tol, reg_nmax, reg_tol, use_ext,
     reg_inner=20, reg_ls=25, alpha0=None, carry_mem=False, mem0=None,
+    aqn0=None,
 ):
     """The whole alternating loop (GMM EM + lockstep registration), fused
     into ONE compiled program: ``n_outer`` iterations of the reference's
@@ -252,31 +257,33 @@ def _run_loop_lddmm(
         return jnp.concatenate(segs, axis=1)
 
     def outer(carry, _):
-        gstates, a0, x1, alpha, mem = carry
+        gstates, a0, x1, alpha, mem, aqn = carry
         gstates, y, ptw, cfes = gmm_pass(gstates, x1)
         sig2 = sig2_of(gstates)
 
-        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk):
+        def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, aqnk):
             dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
             res = lddmm_mod.optimize(
                 lcfg, dataloss, q0k, a0k,
                 x0k if use_ext else None, qmk,
                 xmk if use_ext else None, nmax=reg_nmax, tol=reg_tol,
                 inner=reg_inner, max_linesearch_steps=reg_ls, alpha0=alk,
+                alpha_qn0=aqnk,
                 memory0=memk if carry_mem else None,
             )
             x1k = res.final.x if use_ext else res.final.q
             return (res.p0, x1k, res.trajl, res.alpha,
-                    res.memory if carry_mem else jnp.zeros((), jnp.float32))
+                    res.memory if carry_mem else jnp.zeros((), jnp.float32),
+                    res.alpha_qn)
 
-        a0, x1, trajl, alpha, mem = jax.vmap(one)(
-            q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha, mem
+        a0, x1, trajl, alpha, mem, aqn = jax.vmap(one)(
+            q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha, mem, aqn
         )
         quad = jnp.sum(
             (xmask * ptw)[..., None] * (x1 - y) ** 2 / (2.0 * sig2[..., None])
         )
         fe = jnp.sum(cfes) + jnp.sum(trajl) + quad
-        return (gstates, a0, x1, alpha, mem), (fe, cfes, trajl, quad)
+        return (gstates, a0, x1, alpha, mem, aqn), (fe, cfes, trajl, quad)
 
     if alpha0 is None:
         alpha0 = jnp.zeros((k,), jnp.float32)
@@ -285,12 +292,13 @@ def _run_loop_lddmm(
         mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(jnp.arange(k))
     if not carry_mem:
         mem0 = jnp.zeros((k,), jnp.float32)  # dummy vmap operand
-    carry0 = (tuple(gstates), a0, x1, alpha0, mem0)
-    (gstates, a0, x1, alpha, mem), (fes, cfes, trajls, quads) = jax.lax.scan(
-        outer, carry0, None, length=n_outer
-    )
+    if aqn0 is None:
+        aqn0 = jnp.ones((k,), jnp.float32)
+    carry0 = (tuple(gstates), a0, x1, alpha0, mem0, aqn0)
+    (gstates, a0, x1, alpha, mem, aqn), (fes, cfes, trajls, quads) = \
+        jax.lax.scan(outer, carry0, None, length=n_outer)
     return (gstates, a0, x1, fes, cfes[-1], trajls[-1], quads[-1], alpha,
-            mem if carry_mem else None)
+            mem if carry_mem else None, aqn)
 
 
 # ---------------------------------------------------------------------------
@@ -626,9 +634,11 @@ class DiffPSR(MultiPSR):
             self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
             nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
             alpha0=alpha0, mem0=mem0, vg0=vg0,
+            alpha_qn0=getattr(self, "_reg_alpha_qn", None),
         )
         a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem, vg, \
-            nevals = out
+            nevals, alpha_qn = out
+        self._reg_alpha_qn = alpha_qn  # adaptive QN trial scale (threaded)
         # per-frame line-search eval counts of this call (observability for
         # watchdog program sizing; each eval is a full fwd+bwd shoot)
         self.last_reg_evals = nevals
@@ -690,9 +700,10 @@ class DiffPSR(MultiPSR):
         if alpha is None:
             alpha = jnp.zeros((self.q0.shape[0],), jnp.float32)
         mem = getattr(self, "_reg_memory", None) if carry_memory else None
+        aqn = getattr(self, "_reg_alpha_qn", None)
         while done < n_iters:
             c = min(chunk, n_iters - done)
-            gstates, a0, x1, fes, cfes, trajl, quad, alpha, mem = \
+            gstates, a0, x1, fes, cfes, trajl, quad, alpha, mem, aqn = \
                 _run_loop_lddmm(
                     tuple(self.gmm), self.q0, a0 if done else self.a0,
                     self.x0, x1 if done else self.x1,
@@ -700,12 +711,13 @@ class DiffPSR(MultiPSR):
                     tuple(self.gmm_cfg), self.lcfg, tuple(self.slices),
                     c, max_em, em_tol, reg_nmax, reg_tol, use_ext,
                     reg_inner=reg_inner, reg_ls=reg_ls, alpha0=alpha,
-                    carry_mem=carry_memory, mem0=mem,
+                    carry_mem=carry_memory, mem0=mem, aqn0=aqn,
                 )
             self.gmm = list(gstates)
             fes_list.append(np.asarray(fes, np.float64))
             done += c
         self._reg_alpha = alpha
+        self._reg_alpha_qn = aqn
         if carry_memory:
             self._reg_memory = mem
         self.a0 = a0

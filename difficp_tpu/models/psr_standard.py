@@ -103,7 +103,7 @@ def _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma, slices):
                                    "inner", "ls_steps"))
 def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
                  slices, use_ext, nmax, tol, alpha0=None, inner=20,
-                 ls_steps=25, mem0=None, vg0=None):
+                 ls_steps=25, mem0=None, vg0=None, alpha_qn0=None):
     """All-frames LDDMM registration of the template onto each data set.
 
     x: (K, Ntot_x, D) padded data (concatenated structures); slices index the
@@ -126,8 +126,10 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
     carry_vg = vg0 is not None
     if not carry_vg:
         vg0 = jnp.zeros((a0.shape[0],), jnp.float32)
+    if alpha_qn0 is None:
+        alpha_qn0 = jnp.ones((a0.shape[0],), jnp.float32)
 
-    def one(a0k, xk, xmk, alk, memk, vgk):
+    def one(a0k, xk, xmk, alk, memk, vgk, aqnk):
         # skip_xx: the data-data term is constant wrt the momenta
         dataloss = _frame_rkhs_dataloss(xk, xmk, w0, noise2, data_sigma,
                                         slices)
@@ -135,6 +137,7 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
             lcfg, dataloss, q0, a0k,
             ally0 if use_ext else None,
             None, None, nmax=nmax, tol=tol, alpha0=alk if warm else None,
+            alpha_qn0=aqnk,
             inner=inner, max_linesearch_steps=ls_steps,
             memory0=memk if carry_mem else None,
             warm_vg=vgk if carry_vg else None,
@@ -143,9 +146,9 @@ def _reg_opt_std(lcfg, q0, a0, ally0, x, xmask, noise2, data_sigma, w0,
         return (res.p0, y1k, res.trajl, res.datal, res.n_steps, res.change,
                 res.alpha,
                 res.memory if carry_mem else jnp.zeros((), jnp.float32),
-                (res.grad, res.final, res.trajl, res.datal))
+                (res.grad, res.final, res.trajl, res.datal), res.alpha_qn)
 
-    return jax.vmap(one)(a0, x, xmask, alpha0, mem0, vg0)
+    return jax.vmap(one)(a0, x, xmask, alpha0, mem0, vg0, alpha_qn0)
 
 
 @partial(jax.jit, static_argnames=("slices",))
@@ -200,7 +203,7 @@ def _tmpl_lossfn(lcfg, q0, a0, x_s, xm_s, data_sigma, noise2, use_weights):
                                    "ls_steps"))
 def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
                       nmax, tol, use_weights, alpha0=None, inner=20,
-                      ls_steps=25, mem0=None, vg0=None):
+                      ls_steps=25, mem0=None, vg0=None, alpha_qn0=None):
     """L-BFGS over one structure's template (and optional weights), gradient
     through all K frozen shoots (PSR_standard.py:226-255).  Module-level jit
     so repeated Template_opt calls reuse the compiled program instead of
@@ -216,13 +219,14 @@ def _template_opt_std(lcfg, q0, a0, x_s, xm_s, y0s, w0s, data_sigma, noise2,
     params0 = (y0s, w0s) if use_weights else y0s
     res = lbfgs_optimize(
         lossfn, params0, nmax=nmax, tol=tol, alpha0=alpha0, inner=inner,
+        alpha_qn0=alpha_qn0,
         max_linesearch_steps=ls_steps, memory0=mem0,
         value0=None if vg0 is None else vg0[0],
         grad0=None if vg0 is None else vg0[1],
     )
     ys, ws = (res.params if use_weights else (res.params, w0s))
     return (ys, ws, res.loss, res.n_steps, res.alpha, res.memory,
-            (res.loss, res.grad))
+            (res.loss, res.grad), res.alpha_qn)
 
 
 @partial(
@@ -297,7 +301,7 @@ def _run_loop_std(
         # ---- Template_opt: per structure, through K frozen shoots -----
         new_y0, new_w0, new_al = [], [], []
         for s, (ylo, yhi, xlo, xhi) in enumerate(slices):
-            ys, ws, _, _, als, _, _ = _template_opt_std(
+            ys, ws, _, _, als, _, _, _ = _template_opt_std(
                 lcfg, q0, a0, x[:, xlo:xhi], xmask[:, xlo:xhi],
                 y0[ylo:yhi],
                 w0[ylo:yhi] if use_weights else jnp.zeros((0,), y0.dtype),
@@ -579,14 +583,16 @@ class DiffPSRStd(MultiPSRStd):
                 mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
                     jnp.arange(self.K))
         vg0 = getattr(self, "_reg_vg", None) if carry_value else None
-        a0, y1, regl, datal, nsteps, change, alpha, mem, vg = _reg_opt_std(
-            self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
-            jnp.asarray(noise2), self.data_sigma, self.w0_cat,
-            tuple(self.slices), use_ext, nmax, tol,
-            alpha0=alpha0, inner=inner, ls_steps=ls_steps, mem0=mem0,
-            vg0=vg0,
-        )
+        a0, y1, regl, datal, nsteps, change, alpha, mem, vg, aqn = \
+            _reg_opt_std(
+                self.lcfg, self.q0, self.a0, self.ally0, self.x, self.xmask,
+                jnp.asarray(noise2), self.data_sigma, self.w0_cat,
+                tuple(self.slices), use_ext, nmax, tol,
+                alpha0=alpha0, inner=inner, ls_steps=ls_steps, mem0=mem0,
+                vg0=vg0, alpha_qn0=getattr(self, "_reg_alpha_qn", None),
+            )
         self._reg_alpha = alpha  # warm-start the next call's line search
+        self._reg_alpha_qn = aqn  # adaptive QN trial scale (threaded)
         if carry_memory:
             self._reg_memory = mem
         self._reg_vg = vg  # valid until the template/support/momenta move
@@ -634,14 +640,19 @@ class DiffPSRStd(MultiPSRStd):
                                            if self.template_weights else 0)
                     mem0 = lbfgs_zero_memory(n)
             vg0 = tmpl_vg[s] if carry_value else None
-            ys, ws, loss, n_steps, als, mem, vg = _template_opt_std(
+            tmpl_aqn = getattr(self, "_tmpl_alpha_qn",
+                               [None] * len(self.slices))
+            ys, ws, loss, n_steps, als, mem, vg, aqn = _template_opt_std(
                 self.lcfg, self.q0, self.a0,
                 self.x[:, xlo:xhi], self.xmask[:, xlo:xhi],
                 self.y0[s], w0s,
                 self.data_sigma, self.noise_std[s] ** 2, nmax, tol,
                 self.template_weights, alpha0=tmpl_alpha[s],
                 inner=inner, ls_steps=ls_steps, mem0=mem0, vg0=vg0,
+                alpha_qn0=tmpl_aqn[s],
             )
+            tmpl_aqn[s] = aqn
+            self._tmpl_alpha_qn = tmpl_aqn
             tmpl_alpha[s] = als
             self._tmpl_alpha = tmpl_alpha
             if carry_memory:

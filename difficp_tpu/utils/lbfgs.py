@@ -64,6 +64,13 @@ class LBFGSResult(NamedTuple):
     alpha: jax.Array = jnp.asarray(0.0)  # first accepted line-search step
     #   size; feed back as ``alpha0`` of the next call on the same problem
     #   (warm start) to skip the first line search's bracketing phase
+    alpha_qn: jax.Array = jnp.asarray(1.0)  # adaptive QUASI-NEWTON trial
+    #   scale: the natural L-BFGS trial is 1.0 once the memory holds a
+    #   pair, but on stiff raw-sum objectives a lane whose true Wolfe step
+    #   sits orders below 1 re-pays the whole bracket/zoom descent EVERY
+    #   watchdog-split call (measured at K=10 x 65k: half the lanes burned
+    #   the full 6-eval budget per program).  This threads 8x the last step
+    #   that made real relative progress; feed back as ``alpha_qn0``.
     aux: any = None   # with ``has_aux``: the auxiliary output of lossfn AT
     #   the best evaluation (e.g. the arrival ShootState — saves callers the
     #   re-shoot at the returned params, reference optim.py re-evaluates)
@@ -352,6 +359,7 @@ def lbfgs_optimize(
     memory_size: int = 20,
     max_linesearch_steps: int = 25,
     alpha0=None,
+    alpha_qn0=None,
     has_aux: bool = False,
     memory0: LBFGSMemory | None = None,
     value0=None,
@@ -430,6 +438,14 @@ def lbfgs_optimize(
     a0v = jnp.asarray(0.0 if alpha0 is None else alpha0, jnp.float32)
     warm_ok = jnp.logical_and(a0v > _ALPHA_DEGENERATE, jnp.isfinite(a0v))
     alpha_h = jnp.where(warm_ok, a0v, seed)
+    # adaptive quasi-Newton trial scale (see LBFGSResult.alpha_qn): 1.0 =
+    # the natural trial (cold / healthy); threaded values start the search
+    # where the last productive step landed
+    aqn0v = jnp.asarray(1.0 if alpha_qn0 is None else alpha_qn0,
+                        jnp.float32)
+    aqn0v = jnp.where(
+        jnp.logical_and(jnp.isfinite(aqn0v), aqn0v > _ALPHA_DEGENERATE),
+        jnp.minimum(aqn0v, 1.0), 1.0)
 
     fd = f0.dtype
     best_x0 = x0
@@ -460,7 +476,7 @@ def lbfgs_optimize(
         # at bookkeeping-only cost.
         def inner_step(carry, _):
             (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-             a_first, act, nev) = carry
+             a_first, act, nev, aqn) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
             dg = _dot(g_clean, d)
@@ -470,13 +486,28 @@ def lbfgs_optimize(
             d = jnp.where(jnp.logical_and(active, act), d,
                           jnp.zeros_like(d))
             # first step is steepest-descent-scaled (seed); once the
-            # memory has a pair, the gamma scaling makes 1.0 the natural
-            # trial (Nocedal & Wright p.142)
+            # memory has a pair, the trial is the ADAPTIVE quasi-Newton
+            # scale aqn (1.0 = the natural Nocedal & Wright trial; below it
+            # when the last productive step showed the landscape is stiffer
+            # — restarting at 1.0 re-paid the whole zoom descent every
+            # watchdog-split call on the 65k atlas lanes)
             a1 = jnp.where(count == 0, alpha_h.astype(fd),
-                           jnp.ones((), fd))
+                           aqn.astype(fd))
             acc_a, acc_f, acc_g, acc_ok, bx, bf, bg, baux, ls_k = linesearch(
                 x, fx, gx, d, a1, bx, bf, bg, baux)
             nev = nev + ls_k
+            # adapt the quasi-Newton trial to the step that actually made
+            # real relative progress (taken steps with df ~ 0 are converged
+            # lanes accepting ~0-length steps — those must NOT collapse the
+            # trial, the r2 warm-seed-poison lesson); the /64 lower clamp
+            # bounds the per-step shrink, bracketing growth (10x/eval)
+            # recovers an undersized trial cheaply
+            progress = (fx - acc_f) > 1e-9 * jnp.abs(fx)
+            taken_ok = jnp.logical_and(acc_a > _ALPHA_DEGENERATE, progress)
+            aqn = jnp.where(
+                taken_ok,
+                jnp.clip(8.0 * acc_a.astype(jnp.float32), aqn / 64.0, 1.0),
+                aqn)
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
@@ -521,45 +552,45 @@ def lbfgs_optimize(
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
             return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf, bg,
-                    baux, a_first, act, nev), None
+                    baux, a_first, act, nev, aqn), None
 
         return inner_step
 
     def outer_cond(carry):
-        i, change, ref = carry[0], carry[-3], carry[-2]
+        i, change, ref = carry[0], carry[-4], carry[-3]
         keep = jnp.logical_and(i < nmax,
                                change > tol * jnp.maximum(ref, 1e-30))
         return jnp.logical_or(i == 0, keep)
 
     def outer_body(carry):
         (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         change, ref, nev) = carry
+         change, ref, nev, aqn) = carry
         active = outer_cond(carry)
         prev = x
         (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         _, nev), _ = \
+         _, nev, aqn), _ = \
             jax.lax.scan(
                 make_inner_step(active),
                 (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                 a_first, active, nev),
+                 a_first, active, nev, aqn),
                 None, length=inner,
             )
         dx = x - prev
         change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
         ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
         return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                a_first, change, ref, nev)
+                a_first, change, ref, nev, aqn)
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
         pos0, count0,
         best_x0, best_f0, g0, baux0, jnp.zeros((), jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
-        jnp.asarray(0),
+        jnp.asarray(0), aqn0v,
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
     (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-     change, ref, nev) = out
+     change, ref, nev, aqn) = out
 
     # Warm-start value for the next call: the first TRULY accepted
     # (steepest-descent-scale) step, confined to an asymmetric trust
@@ -579,7 +610,7 @@ def lbfgs_optimize(
     alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 4096.0,
                                    prev_seed * 16.0), prev_seed)
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
-                       change=change, alpha=alpha,
+                       change=change, alpha=alpha, alpha_qn=aqn,
                        aux=baux if has_aux else None,
                        n_evals=nev,
                        memory=LBFGSMemory(S=S, Y=Y, rho=rho, pos=pos,
