@@ -45,11 +45,27 @@ def set_bwd_precision(mode):
     _set(mode)
 
 
-def _use_dense(m, n):
+def _on_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _use_dense(m, n, pallas_capable=True):
     if _FORCE["mode"] == "dense":
         return True
     if _FORCE["mode"] in ("blockwise", "pallas"):
         return False
+    # NOTE (r5, measured): do NOT route tiny sizes to pallas on TPU.  A
+    # first A/B suggesting pallas wins at ~500-pt frames was a jit-cache
+    # artifact (the fused-loop program had been traced under the dense
+    # backend; set_backend is trace-time state).  A clean-process pallas
+    # trace of the same workload runs ~3x SLOWER than dense (8.0 vs 2.4-
+    # 3.7 s per 8 fused iterations): each pallas call carries ~100-200 us
+    # of in-program launch overhead and a tiny-frame fwd+bwd shoot makes
+    # ~100 of them per loss+grad eval, while the dense path is a handful
+    # of XLA fusions over (K, n, n) tiles that fit HBM bandwidth fine at
+    # this size.
     return m * n <= DENSE_PAIR_LIMIT
 
 
@@ -124,9 +140,11 @@ def _static_float(v):
 
 
 def v_field(x, q, p, sigma, eta, mask_q=None):
-    if _use_dense(x.shape[0], q.shape[0]):
-        return _dense.v_field(x, q, p, sigma, eta, mask_q)
     sig = _static_float(sigma)
+    # a traced sigma cannot key the static-sigma pallas factory — keep the
+    # dense path preferred below the pair limit there
+    if _use_dense(x.shape[0], q.shape[0], pallas_capable=sig is not None):
+        return _dense.v_field(x, q, p, sigma, eta, mask_q)
     if _use_pallas_generic() and sig is not None:
         from difficp_tpu.ops.pallas_ksum import make_v_field
 
@@ -142,7 +160,7 @@ def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
     """Standalone -sum div(v) at data points (LDDMM.py:120-138); the shoot's
     hot path gets this fused inside lddmm_rhs_* instead.  Blockwise above
     the dense pair limit (the dense (M, Nx) tile would OOM at scale)."""
-    if _use_dense(q.shape[0], x.shape[0]):
+    if _use_dense(q.shape[0], x.shape[0], pallas_capable=False):
         return _dense.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
     return _block.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
 
@@ -201,9 +219,9 @@ def hamiltonian(q, p, sigma, eta, mask_q=None):
     """H(q, p) any eta (LDDMM.py:142-159) — evaluated (and differentiated)
     in EVERY L-BFGS trajloss at scale, so it gets the payload-matmul path:
     value AND gradient each cost one fused-RHS-grade kernel call."""
-    if _use_dense(q.shape[0], q.shape[0]):
-        return _dense.hamiltonian(q, p, sigma, eta, mask_q)
     sig = _static_float(sigma)
+    if _use_dense(q.shape[0], q.shape[0], pallas_capable=sig is not None):
+        return _dense.hamiltonian(q, p, sigma, eta, mask_q)
     if _use_pallas_generic() and sig is not None:
         from difficp_tpu.ops.pallas_ksum import make_hamiltonian
 

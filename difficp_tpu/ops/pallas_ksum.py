@@ -98,6 +98,25 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out,
     y tiles from HBM once per x-tile — for wide tables that restream is
     the binding cost (121-col table at M=131k: ~36 GB per call)."""
     sig = sig_ref[0, 0]
+    _ksum_blocked_body(x_ref, y_ref, sig, out_ref, None, d=d, tj=tj,
+                       rows_out=rows_out, skew=skew)
+
+
+def _ksum_blocked_scratch_kernel(x_ref, y_ref, sig_ref, out_ref, k_scr,
+                                 *, d, tj, rows_out):
+    """Scratch-pipelined variant: the exp tile of iteration jt+1 is written
+    into a ping-pong VMEM scratch slot while the MXU contracts slot jt —
+    the VPU/MXU overlap of the ``skew`` path WITHOUT the fori_loop carry
+    (carrying a (TI, TJ) f32 tile as a loop value forces a per-iteration
+    copy; at tj=512 that measured 93 vs 138 Gpair/s — the scratch ref is
+    mutable state, no copy)."""
+    sig = sig_ref[0, 0]
+    _ksum_blocked_body(x_ref, y_ref, sig, out_ref, k_scr, d=d, tj=tj,
+                       rows_out=rows_out, skew=False)
+
+
+def _ksum_blocked_body(x_ref, y_ref, sig, out_ref, k_scr, *, d, tj,
+                       rows_out, skew):
     u = 1.0 / (sig * sig)
     xi = [x_ref[dd, :][:, None] for dd in range(d)]
     ti = x_ref.shape[1]
@@ -114,7 +133,21 @@ def _ksum_blocked_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, tj, rows_out,
             d2 = d2 + (xi[dd] - yj[dd]) ** 2
         return jnp.exp(-0.5 * d2 * u) * mj              # (TI, TJ)
 
-    if skew:
+    if k_scr is not None:
+        # ping-pong scratch pipeline: slot (jt % 2) holds iteration jt's
+        # exp tile; the body computes jt+1's tile into the other slot
+        # (VPU) then contracts jt's (MXU) — independent stages, no carry
+        k_scr[0] = make_k(0)
+
+        def body(jt, acc):
+            k_scr[(jt + 1) % 2] = make_k(jt + 1)
+            pt = y_ref[_HEAD:_HEAD + rows_out, pl.ds(jt * tj, tj)]
+            return acc + _mm3(pt, k_scr[jt % 2], (((1,), (1,)), ((), ())))
+
+        out_ref[...] = jax.lax.fori_loop(
+            0, n_j, body, jnp.zeros((rows_out, ti), jnp.float32)
+        )
+    elif skew:
         # software-pipelined: the exp tile (VPU) runs one iteration ahead
         # of its matmul (MXU).  Only profitable at tj <= 256 — at tj=512
         # the 512 KB f32 carry forces per-iteration copies (measured 93 vs
@@ -152,8 +185,14 @@ _BLOCKED_MIN_N = 16384
 _BLOCKED_BUDGET_FLOATS = None  # override seam (tests); None = device-derived
 # skewed-pipeline A/B knob: set to a tile width (e.g. 256) to run the
 # blocked kernel software-pipelined at that tj; None = plain loop at the
-# caller's tj (the measured default — see _ksum_blocked_kernel)
+# caller's tj (see _ksum_blocked_kernel)
 _BLOCKED_SKEW_TJ = None
+# VPU/MXU pipeline mode of the blocked kernel: "scratch" = the ping-pong
+# VMEM-scratch pipeline (exp of iteration jt+1 fills one slot while the
+# MXU contracts the other — no loop-carried tile, no copy), None = plain
+# serial loop, "skew" = the loop-carry pipeline (kept for A/B against
+# _BLOCKED_SKEW_TJ)
+_BLOCKED_PIPELINE = None
 
 
 def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
@@ -165,6 +204,7 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     skew = _BLOCKED_SKEW_TJ is not None
     if skew:
         tj = _BLOCKED_SKEW_TJ
+    scratch = (_BLOCKED_PIPELINE == "scratch") and not skew
     # the resident y block shares VMEM with the double-buffered x tile and
     # out tile (2x each under the pipelined grid) — subtract them before
     # sizing the block so the real working set stays under the vmap-safe cap
@@ -173,6 +213,8 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     budget = base - 2 * (_HEAD + rows_out) * ti
     if skew:
         budget -= 3 * ti * tj  # the carried exp tile + in-flight successor
+    if scratch:
+        budget -= 2 * ti * tj  # the two ping-pong exp-tile scratch slots
     mby_cap = max(tj, (budget // (_HEAD + rows_out) // tj) * tj)
     nb = -(-n // mby_cap)
     mby = max(tj, -(-(-(-n // nb)) // tj) * tj)
@@ -180,12 +222,19 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
     if ypack.shape[1] != npad:
         ypack = jnp.pad(ypack, ((0, 0), (0, npad - ypack.shape[1])))
     sig = jnp.reshape(jnp.asarray(sigma, jnp.float32), (1, 1))
+    if scratch:
+        kernel = functools.partial(_ksum_blocked_scratch_kernel, d=d, tj=tj,
+                                   rows_out=rows_out)
+        scratch_shapes = [pltpu.VMEM((2, ti, tj), jnp.float32)]
+    else:
+        kernel = functools.partial(_ksum_blocked_kernel, d=d, tj=tj,
+                                   rows_out=rows_out, skew=skew)
+        scratch_shapes = []
     out = None
     for b in range(npad // mby):
         yblk = ypack[:, b * mby:(b + 1) * mby]
         part = pl.pallas_call(
-            functools.partial(_ksum_blocked_kernel, d=d, tj=tj,
-                              rows_out=rows_out, skew=skew),
+            kernel,
             grid=(nx_pad // ti,),
             in_specs=[
                 pl.BlockSpec((_HEAD, ti), lambda i: (0, i),
@@ -197,6 +246,7 @@ def _pairwise_ksum_blocked(xpack, ypack, sigma, nx_pad, n, d, rows_out,
             out_specs=pl.BlockSpec((rows_out, ti), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows_out, nx_pad), jnp.float32),
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
             ),

@@ -51,7 +51,14 @@ def integrate(
     else:
         raise ValueError(f"Unknown integration scheme: {scheme}")
 
-    final, traj = jax.lax.scan(step, state0, None, length=nt)
+    # tiny states: unroll the time loop.  At toy sizes (the reference's own
+    # example workloads: ~40-120 points per frame) the shoot is bound by
+    # sequential op count, not FLOPs/bandwidth — unrolling removes the scan
+    # loop boundaries and lets XLA fuse across steps.  Large states keep
+    # the rolled scan (compile time; the bodies are pallas kernels there).
+    n_state = sum(a.size for a in jax.tree.leaves(state0))
+    unroll = nt if n_state <= 262_144 else 1
+    final, traj = jax.lax.scan(step, state0, None, length=nt, unroll=unroll)
     if save_traj:
         # prepend t=0 state
         traj = jax.tree.map(

@@ -66,3 +66,64 @@ def test_linesearch_aberrant_bracket_trial_recovers():
     assert np.isfinite(float(res.loss))
     assert 0.0 < xs <= 2.0
     assert float(res.loss) < float(f(x0))
+
+
+def test_blocked_scratch_pipeline_matches_plain():
+    """The ping-pong VMEM-scratch pipeline of the blocked wide-table
+    kernel-sum is bit-identical to the plain loop (same contraction order,
+    only the exp tile's residence changes)."""
+    from difficp_tpu.ops import pallas_ksum as pk
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    pay = jnp.asarray(rng.normal(size=(n, 70)), jnp.float32)
+    keep = (pk._BLOCKED_MIN_ROWS, pk._BLOCKED_MIN_N,
+            pk._BLOCKED_BUDGET_FLOATS, pk._BLOCKED_PIPELINE)
+    try:
+        pk._BLOCKED_MIN_ROWS = 8
+        pk._BLOCKED_MIN_N = 512
+        pk._BLOCKED_BUDGET_FLOATS = 200_000  # force several y blocks
+        pk._BLOCKED_PIPELINE = None
+        a = pk.pairwise_ksum(x, y, pay, 0.3, None, ti=256, tj=256)
+        pk._BLOCKED_PIPELINE = "scratch"
+        b = pk.pairwise_ksum(x, y, pay, 0.3, None, ti=256, tj=256)
+    finally:
+        (pk._BLOCKED_MIN_ROWS, pk._BLOCKED_MIN_N,
+         pk._BLOCKED_BUDGET_FLOATS, pk._BLOCKED_PIPELINE) = keep
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alpha_qn_no_collapse_near_convergence():
+    """Near-converged lanes accepting tiny true-Wolfe steps must NOT drag
+    the adaptive quasi-Newton trial scale down (the r5 bench regression:
+    aqn lanes collapsed to ~3e-5 on the tiny-K fused workload, and every
+    later line search re-paid the 10x/eval growth).  On a well-scaled
+    quadratic driven to convergence the returned alpha_qn stays 1.0."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def f(x):
+        return jnp.sum((x - 0.5) ** 2)
+
+    res = lbfgs_optimize(f, jnp.zeros((4,), jnp.float32), nmax=6, inner=10,
+                         max_linesearch_steps=12)
+    assert float(res.loss) < 1e-10
+    assert float(res.alpha_qn) == 1.0
+
+
+def test_alpha_qn_adapts_on_stiff_objective():
+    """A stiff objective whose Wolfe step sits orders below 1.0 but which
+    makes real relative progress per step must still thread a reduced
+    alpha_qn (the K=10 x 65k atlas case the machinery exists for)."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    # log-barrier: the quasi-Newton model persistently overshoots toward
+    # the barrier, so accepted steps sit far below the natural 1.0 trial
+    # while still making large relative progress
+    def f(x):
+        return -jnp.sum(jnp.log(1.0 - x)) + 50.0 * jnp.sum(x * x)
+
+    res = lbfgs_optimize(f, jnp.zeros((4,), jnp.float32) + 0.01, nmax=3,
+                         inner=6, max_linesearch_steps=20)
+    assert float(res.alpha_qn) < 1.0
