@@ -54,10 +54,14 @@ def integrate(
     # tiny states: unroll the time loop.  At toy sizes (the reference's own
     # example workloads: ~40-120 points per frame) the shoot is bound by
     # sequential op count, not FLOPs/bandwidth — unrolling removes the scan
-    # loop boundaries and lets XLA fuse across steps.  Large states keep
-    # the rolled scan (compile time; the bodies are pallas kernels there).
+    # loop boundaries and lets XLA fuse across steps (TPU-measured on the
+    # diffICP_multi bench: 2.4 s -> 0.72 s per 8 fused outer iterations,
+    # 10.7 outer-iter/s cold-process).  Mid/large states keep the rolled
+    # scan: their bodies are pallas kernels whose remote compile already
+    # takes minutes, and loop overhead is negligible against the kernels.
+    # (Sizes are per-lane under vmap — the threshold is per-frame floats.)
     n_state = sum(a.size for a in jax.tree.leaves(state0))
-    unroll = nt if n_state <= 262_144 else 1
+    unroll = nt if n_state <= 32_768 else 1
     final, traj = jax.lax.scan(step, state0, None, length=nt, unroll=unroll)
     if save_traj:
         # prepend t=0 state
