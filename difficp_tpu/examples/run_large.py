@@ -88,7 +88,12 @@ if __name__ == "__main__":
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--inner", type=int, default=None)
+    ap.add_argument("--ls", type=int, default=25,
+                    help="line-search eval budget per program; cap it at "
+                    "262k+ points so the COLD first program (entry eval + "
+                    "full descent from the 1/||g0|| seed) stays under "
+                    "runtime execution watchdogs")
     ap.add_argument("--dim", type=int, default=2, choices=(2, 3))
     args = ap.parse_args()
     main(n_points=args.points, n_iter=args.iters, inner=args.inner,
-         dim=args.dim)
+         ls_steps=args.ls, dim=args.dim)

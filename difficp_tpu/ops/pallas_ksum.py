@@ -62,6 +62,11 @@ from difficp_tpu.ops.pallas_reductions import (
 
 _HEAD = 8  # coordinate+mask header rows (sublane-aligned payload offset)
 
+# measurement-only knob (benchmarks): replace the exp tile by its d2
+# argument in the blocked kernel — isolates the MXU-contraction ceiling of
+# the loop structure from the VPU exp work.  NEVER set in production.
+_KSUM_NO_EXP = False
+
 
 def _ksum_kernel(x_ref, y_ref, sig_ref, out_ref, *, d, rows_out):
     """One (i-tile, j-tile) step of the generic kernel-sum.
@@ -131,6 +136,8 @@ def _ksum_blocked_body(x_ref, y_ref, sig, out_ref, k_scr, *, d, tj,
         d2 = (xi[0] - yj[0]) ** 2
         for dd in range(1, d):
             d2 = d2 + (xi[dd] - yj[dd]) ** 2
+        if _KSUM_NO_EXP:  # roofline probe: contraction-only ceiling
+            return d2 * mj
         return jnp.exp(-0.5 * d2 * u) * mj              # (TI, TJ)
 
     if k_scr is not None:

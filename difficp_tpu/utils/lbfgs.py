@@ -507,23 +507,43 @@ def lbfgs_optimize(
             # trial, the r2 warm-seed-poison lesson); the /64 lower clamp
             # bounds the per-step shrink, bracketing growth (10x/eval)
             # recovers an undersized trial cheaply.
-            # The progress bar is RELATIVE (1e-5 |fx|) and only true
-            # strong-Wolfe accepts qualify: a near-converged lane's tiny
+            # The progress bar is RELATIVE (1e-6 |fx|, ~8x f32 eps — above
+            # rounding noise): a fully-converged lane's noise-level
             # accepted steps (df ~ 1e-8 |fx|) collapsed aqn on the tiny-K
-            # fused workloads (measured on the diffICP_multi bench: aqn
-            # lanes at 3e-5 after one run(8), second run SLOWER than the
-            # compile-included first — every later search re-grew the
-            # trial 10x/eval), while the stiff 65k lanes this machinery
-            # exists for make ~2e-3 relative progress per accepted step
-            # and pass comfortably.
-            progress = (fx - acc_f) > 1e-5 * jnp.abs(fx)
-            taken_ok = jnp.logical_and(
-                jnp.logical_and(acc_a > _ALPHA_DEGENERATE, acc_ok),
-                progress)
+            # fused workloads (measured: aqn lanes at 3e-5 after one bench
+            # run(8), every later search re-paying the 10x/eval growth),
+            # while lanes still making measurable progress MUST keep
+            # tracking down — at K=10 x 65k the slow lanes progress ~7e-6
+            # relative per accepted step, and a 1e-5 bar froze their aqn
+            # at 1.0, re-paying the whole 6-eval descent every carried
+            # call (the vmapped joint search runs at the slowest lane, so
+            # four such lanes pinned EVERY program at the full budget —
+            # measured 113-127 s/outer-iter vs ~60 healthy).  Budget-
+            # fallback steps DO qualify (no acc_ok gate): on stiff lanes
+            # the first in-budget Armijo point is often the only signal a
+            # short watchdog-sized search ever produces.
+            progress = (fx - acc_f) > 1e-6 * jnp.abs(fx)
+            taken_ok = jnp.logical_and(acc_a > _ALPHA_DEGENERATE, progress)
+            # /256 per-update shrink clamp: the stiff-lane scale sits 5-6
+            # orders below 1.0 at 65k — /64 took 4+ calls of full-budget
+            # descent to reach it, /256 gets there in 2 while still
+            # bounding an anomalous single-step collapse (growth back is
+            # ~10x/eval)
             aqn = jnp.where(
                 taken_ok,
-                jnp.clip(8.0 * acc_a.astype(jnp.float32), aqn / 64.0, 1.0),
+                jnp.clip(8.0 * acc_a.astype(jnp.float32), aqn / 256.0, 1.0),
                 aqn)
+            # bootstrap guarantee: an ACTIVE descent lane that exhausted
+            # its whole budget without finding ANY Armijo point learned
+            # exactly one thing — the true step is below everything it
+            # probed.  Shrink the next call's trial /256 so a 6-eval
+            # budget cannot get pinned at trial 1.0 forever when the
+            # Wolfe step sits 6+ orders down (observed at K=10 x 65k).
+            no_step = jnp.logical_and(
+                jnp.logical_and(acc_a <= _ALPHA_DEGENERATE,
+                                ls_k >= max_linesearch_steps),
+                jnp.logical_and(active, act))
+            aqn = jnp.where(no_step, jnp.maximum(aqn / 256.0, 1e-20), aqn)
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
