@@ -76,7 +76,7 @@ def bench_rhs(dim=2):
 
 
 def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
-                ls_steps=None, reg_calls=2, em_iters=10):
+                ls_steps=None, reg_calls=2, em_iters=10, frame_chunk=None):
     """Stepwise loop with reg_nmax=1 per call: the axon TPU worker kills
     single program executions running much beyond ~60 s, so at scale each
     partial step is its own (short) program; the pallas fwd+bwd kernels keep
@@ -121,9 +121,13 @@ def bench_atlas(k=10, n=16384, n_iter=3, carry=False, inner=4, c=40,
         ls_kw = {} if ls_steps is None else {"ls_steps": ls_steps}
         for _ in range(reg_calls):
             psr.Reg_opt(tol=1e-3, nmax=1, inner=inner,
-                        carry_memory=carry, carry_value=carry, **ls_kw)
+                        carry_memory=carry, carry_value=carry,
+                        frame_chunk=frame_chunk, **ls_kw)
+            mem = getattr(psr, "_reg_memory", None)
+            cnt = np.asarray(mem.count) if mem is not None else None
             print(f"  reg evals/lane: {np.asarray(psr.last_reg_evals)} "
-                  f"FE={psr.FE:.1f} alpha={np.asarray(psr._reg_alpha)}",
+                  f"FE={psr.FE:.1f} alpha={np.asarray(psr._reg_alpha)} "
+                  f"aqn={np.asarray(psr._reg_alpha_qn)} memcnt={cnt}",
                   flush=True)
 
     t0 = time.time()
@@ -557,9 +561,22 @@ if __name__ == "__main__":
         # must stay <= ~7 evals: inner=1 x ls=6.  (inner=2/ls=8 = up to 17
         # evals = ~110 s crashed the worker; ls=25 even worse.)  4 carried
         # Reg programs per outer iteration; steady programs are ~1 eval.
+        # frame_chunk=5: the vmapped joint line search runs at the
+        # slowest lane, and after every EM update the f32-converged lanes
+        # re-probe their full 6-eval budget — chunking confines that tax
+        # to the chunk holding the lane (93.8 -> measured below s/iter)
         res["atlas65"] = bench_atlas(k=10, n=65536, n_iter=2,
                                      carry=True, inner=1, ls_steps=6,
-                                     reg_calls=4)
+                                     reg_calls=2, frame_chunk=5)
+    if which == "atlas131":  # K=10 frames x 131k points each (the flagship
+        # groupwise size; 10.7 Tpair per joint eval).  frame_chunk=2 keeps
+        # each program at ~2-frame joint evals (~3.4 s) so even the COLD
+        # post-EM program (entry + up to 4 ls evals) stays well under the
+        # ~60 s watchdog; carried threading makes steady programs ~1 eval.
+        res["atlas131"] = bench_atlas(k=10, n=131072, n_iter=2,
+                                      carry=True, inner=1, ls_steps=4,
+                                      reg_calls=2, em_iters=5,
+                                      frame_chunk=2)
     if which == "k64big":  # north-star: K=64 frames x NON-TOY N=4096 each
         # (64 x 4096^2 x nt x fwd+bwd ~ 21 Gpair/eval; carried stepwise
         # programs stay well under the watchdog at inner=2)

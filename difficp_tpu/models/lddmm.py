@@ -172,6 +172,10 @@ class OptimizeResult(NamedTuple):
     #   of a steady nmax=1 step
     n_evals: any = None  # total line-search loss+grad evaluations (each a
     #   full fwd+bwd shoot) — observability for watchdog program sizing
+    stalled: any = None  # lane converged at f32 resolution this call (no
+    #   step found / tolerance-frozen).  Thread as ``stall0`` into the next
+    #   optimize while the objective is UNCHANGED; see
+    #   utils/lbfgs.LBFGSResult.stalled
 
 
 def _make_lossfn(cfg, dataloss, q0, x0, qmask, xmask):
@@ -216,6 +220,7 @@ def optimize(
     alpha_qn0=None,
     memory0=None,
     warm_vg=None,
+    stall0=None,
 ) -> OptimizeResult:
     """min_{p0} trajloss(p0) + dataloss(arrival points)  (LDDMM.py:338-398).
 
@@ -252,7 +257,7 @@ def optimize(
         lossfn_aux, p0, nmax=nmax, inner=inner, tol=tol,
         errthresh=errthresh, max_linesearch_steps=max_linesearch_steps,
         alpha0=alpha0, alpha_qn0=alpha_qn0, has_aux=True, memory0=memory0,
-        value0=value0, grad0=grad0, aux0=aux0,
+        value0=value0, grad0=grad0, aux0=aux0, stall0=stall0,
     )
     final, trajl, datal = res.aux
     return OptimizeResult(
@@ -260,6 +265,7 @@ def optimize(
         n_steps=res.n_steps, change=res.change, alpha=res.alpha,
         alpha_qn=res.alpha_qn,
         memory=res.memory, grad=res.grad, n_evals=res.n_evals,
+        stalled=res.stalled,
     )
 
 

@@ -268,7 +268,8 @@ class HostOffloadAtlas:
             # zero entries are the cold sentinel: lbfgs_optimize seeds
             # them at ~1/||g0|| for free from its entry evaluation
             al0 = jnp.asarray(self._alpha[sl])
-            a0n, x1, trajl, datal, _, _, _, alpha, _, _, _, _ = _reg_opt_lddmm(
+            (a0n, x1, trajl, datal, _, _, _, alpha, _, _, _, _,
+             _) = _reg_opt_lddmm(
                 self.lcfg, q0, a0, x0, y, s2, qmk, xmk, w,
                 nmax=nmax, tol=tol, use_ext=use_ext, coverage_check=False,
                 inner=inner, ls_steps=ls_steps, alpha0=al0,

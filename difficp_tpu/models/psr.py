@@ -97,7 +97,7 @@ def _frame_quad_dataloss(yk, sig2k, xmk, wk):
 def _reg_opt_lddmm(
     lcfg, q0, a0, x0, y, sig2, qmask, xmask, ptw, nmax, tol, use_ext,
     coverage_check, r_cover_warn=2.0, inner=20, ls_steps=25, alpha0=None,
-    mem0=None, vg0=None, alpha_qn0=None,
+    mem0=None, vg0=None, alpha_qn0=None, stall0=None,
 ):
     """All-frames LDDMM registration step (vmapped L-BFGS over momenta).
 
@@ -127,8 +127,11 @@ def _reg_opt_lddmm(
         vg0 = jnp.zeros((q0.shape[0],), jnp.float32)
     if alpha_qn0 is None:
         alpha_qn0 = jnp.ones((q0.shape[0],), jnp.float32)
+    if stall0 is None:
+        stall0 = jnp.zeros((q0.shape[0],), jnp.bool_)
 
-    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, vgk, aqnk):
+    def one(q0k, a0k, x0k, yk, sig2k, qmk, xmk, wk, alk, memk, vgk, aqnk,
+            stk):
         dataloss = _frame_quad_dataloss(yk, sig2k, xmk, wk)
         res = lddmm_mod.optimize(
             lcfg,
@@ -146,6 +149,7 @@ def _reg_opt_lddmm(
             alpha_qn0=aqnk,
             memory0=memk if carry_mem else None,
             warm_vg=vgk if carry_vg else None,
+            stall0=stk,
         )
         if coverage_check and use_ext:
             # one more shoot saving the trajectory: warped points + the
@@ -175,10 +179,10 @@ def _reg_opt_lddmm(
                 uncovered, res.alpha,
                 res.memory if carry_mem else jnp.zeros((), jnp.float32),
                 (res.grad, res.final, res.trajl, res.datal), res.n_evals,
-                res.alpha_qn)
+                res.alpha_qn, res.stalled)
 
     return jax.vmap(one)(q0, a0, x0, y, sig2, qmask, xmask, ptw, alpha0,
-                         mem0, vg0, alpha_qn0)
+                         mem0, vg0, alpha_qn0, stall0)
 
 
 @partial(jax.jit, static_argnames=("acfg",))
@@ -409,6 +413,7 @@ class MultiPSR:
         # Armijo baseline.  Curvature memory is kept — pairs are tolerant
         # of slowly moving targets; the exact-value baseline is not.
         self._reg_vg = None
+        self._reg_stall = None  # objective moved: stalled lanes may move
 
     def update_GMM_targets(self):
         """Recompute targets y / Cfe / quadloss without parameter updates
@@ -527,6 +532,7 @@ class DiffPSR(MultiPSR):
         is an O(M^3) SVD on the support set)."""
         self._reg_vg = None  # momenta moved: threaded entry (value, grad)
         #   no longer holds at the new a0
+        self._reg_stall = None
         if self.lcfg.eta == 0.0:
             self.a0 = jnp.zeros_like(self.q0)
             return
@@ -541,6 +547,7 @@ class DiffPSR(MultiPSR):
         v_new = _v_all(self.lcfg, self.q0, q0_prev, a0_prev, qmask_prev)
         self.a0 = _v2p_all(self.lcfg, self.q0, v_new, self.qmask, rcond)
         self._reg_vg = None  # new support / momenta: stale entry (value, grad)
+        self._reg_stall = None
 
     def set_support_scheme(self, scheme="decim", rho=1.0, xticks=None,
                            yticks=None, q0=None):
@@ -596,7 +603,7 @@ class DiffPSR(MultiPSR):
     # ----- registration optimization (PSR.py:521-569) ----------------------
 
     def Reg_opt(self, tol=1e-3, nmax=10, inner=20, ls_steps=25,
-                carry_memory=False, carry_value=False):
+                carry_memory=False, carry_value=False, frame_chunk=None):
         """LDDMM registration optimization (PSR.py:521-569).  ``nmax`` outer
         steps of ``inner`` L-BFGS iterations each (torch semantics:
         max_iter=20 per step).  At large scale keep nmax*inner small enough
@@ -612,9 +619,22 @@ class DiffPSR(MultiPSR):
         steady nmax=1 step at scale.  Only live while the objective is
         unchanged: any EM target / support / momenta update invalidates the
         carried pair automatically (the first Reg_opt after it re-evaluates;
-        threaded and unthreaded calls are distinct compiled programs)."""
+        threaded and unthreaded calls are distinct compiled programs).
+
+        ``frame_chunk``: run the K frames in sequential vmapped chunks of
+        at most this many (None = all at once).  Two reasons at scale:
+        (a) a vmapped joint line search runs at the SLOWEST lane, so one
+        stiff/f32-converged frame taxes every frame in its program — finer
+        chunks confine the tax (sum of per-chunk maxima <= K x global
+        max); (b) per-program work scales with the chunk, keeping single
+        device programs under execution watchdogs at K x 131k+ where even
+        ONE joint loss+grad eval of all frames would exceed them.  All
+        per-frame threaded state (alpha / aqn / memory / vg / stall) is
+        sliced per chunk, so the result is IDENTICAL to the unchunked call
+        up to float-order (vmap lanes are independent)."""
         use_ext = self.support_scheme is not None
         sig2 = self._sig2_vector()
+        k = self.q0.shape[0]
         alpha0 = getattr(self, "_reg_alpha", None)
         if alpha0 is None:
             # cold sentinel: lbfgs_optimize derives the 1/||g0|| seed for
@@ -629,16 +649,46 @@ class DiffPSR(MultiPSR):
                 mem0 = jax.vmap(lambda _: lbfgs_zero_memory(n))(
                     jnp.arange(k))
         vg0 = getattr(self, "_reg_vg", None) if carry_value else None
-        out = _reg_opt_lddmm(
-            self.lcfg, self.q0, self.a0,
-            self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
-            nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
-            alpha0=alpha0, mem0=mem0, vg0=vg0,
-            alpha_qn0=getattr(self, "_reg_alpha_qn", None),
-        )
+        # stall flag shares the carry_value lifecycle: it asserts the
+        # lane is f32-converged ON THE CURRENT objective, so it is
+        # only threaded between calls with no EM/support move between
+        stall0 = (getattr(self, "_reg_stall", None)
+                  if carry_value else None)
+        aqn0 = getattr(self, "_reg_alpha_qn", None)
+
+        fc = k if frame_chunk is None else max(1, min(frame_chunk, k))
+        if fc == k:
+            out = _reg_opt_lddmm(
+                self.lcfg, self.q0, self.a0,
+                self.x0, self.y, sig2, self.qmask, self.xmask, self.ptw,
+                nmax, tol, use_ext, True, inner=inner, ls_steps=ls_steps,
+                alpha0=alpha0, mem0=mem0, vg0=vg0, alpha_qn0=aqn0,
+                stall0=stall0,
+            )
+        else:
+            def _slice(t, sl):
+                return None if t is None else jax.tree.map(
+                    lambda a: a[sl], t)
+
+            parts = []
+            for lo in range(0, k, fc):
+                sl = slice(lo, min(lo + fc, k))
+                parts.append(_reg_opt_lddmm(
+                    self.lcfg, self.q0[sl], self.a0[sl],
+                    self.x0[sl], self.y[sl], sig2[sl], self.qmask[sl],
+                    self.xmask[sl], self.ptw[sl],
+                    nmax, tol, use_ext, True, inner=inner,
+                    ls_steps=ls_steps,
+                    alpha0=alpha0[sl], mem0=_slice(mem0, sl),
+                    vg0=_slice(vg0, sl), alpha_qn0=_slice(aqn0, sl),
+                    stall0=_slice(stall0, sl),
+                ))
+            out = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts)
         a0, x1, trajl, datal, nsteps, change, uncovered, alpha, mem, vg, \
-            nevals, alpha_qn = out
+            nevals, alpha_qn, stalled = out
         self._reg_alpha_qn = alpha_qn  # adaptive QN trial scale (threaded)
+        self._reg_stall = stalled
         # per-frame line-search eval counts of this call (observability for
         # watchdog program sizing; each eval is a full fwd+bwd shoot)
         self.last_reg_evals = nevals

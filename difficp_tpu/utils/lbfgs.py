@@ -88,6 +88,17 @@ class LBFGSResult(NamedTuple):
     #   SAME objective needs to skip its mandatory entry evaluation
     #   (``value0``/``grad0``/``aux0``): at scale the entry value+grad is a
     #   full fwd+bwd shoot — half the cost of a steady nmax=1 step
+    stalled: any = None  # True when this call ended with the lane frozen
+    #   (torch inner tolerances, or a full-budget line search that found no
+    #   step — the lane is converged at f32 resolution).  Feed back as
+    #   ``stall0`` while the objective is UNCHANGED: torch's single long
+    #   call freezes such a lane once and never line-searches it again,
+    #   but watchdog-split short calls re-animate it every call — at
+    #   K=10 x 65k a handful of f32-converged lanes re-burned the full
+    #   6-eval budget per program finding nothing, pinning the vmapped
+    #   joint search (measured 112-138 s/outer-iter vs ~60 healthy).
+    #   Reset it (None / False) whenever the objective moves (EM update,
+    #   support change) — same lifecycle as ``value0``/``grad0``.
 
 
 class LBFGSMemory(NamedTuple):
@@ -370,6 +381,7 @@ def lbfgs_optimize(
     value0=None,
     grad0=None,
     aux0=None,
+    stall0=None,
 ) -> LBFGSResult:
     """Minimize ``lossfn(params)`` starting from pytree ``p0``.
 
@@ -507,22 +519,21 @@ def lbfgs_optimize(
             # trial, the r2 warm-seed-poison lesson); the /64 lower clamp
             # bounds the per-step shrink, bracketing growth (10x/eval)
             # recovers an undersized trial cheaply.
-            # The progress bar is RELATIVE (1e-6 |fx|, ~8x f32 eps — above
-            # rounding noise): a fully-converged lane's noise-level
-            # accepted steps (df ~ 1e-8 |fx|) collapsed aqn on the tiny-K
-            # fused workloads (measured: aqn lanes at 3e-5 after one bench
-            # run(8), every later search re-paying the 10x/eval growth),
-            # while lanes still making measurable progress MUST keep
-            # tracking down — at K=10 x 65k the slow lanes progress ~7e-6
-            # relative per accepted step, and a 1e-5 bar froze their aqn
-            # at 1.0, re-paying the whole 6-eval descent every carried
-            # call (the vmapped joint search runs at the slowest lane, so
-            # four such lanes pinned EVERY program at the full budget —
-            # measured 113-127 s/outer-iter vs ~60 healthy).  Budget-
-            # fallback steps DO qualify (no acc_ok gate): on stiff lanes
-            # the first in-budget Armijo point is often the only signal a
-            # short watchdog-sized search ever produces.
-            progress = (fx - acc_f) > 1e-6 * jnp.abs(fx)
+            # The progress bar is deliberately LOW (1e-9 |fx|): as a lane
+            # converges its per-step progress decays below ANY fixed bar
+            # while its accepted-step scale keeps drifting down, and a
+            # frozen-above-scale aqn re-pays the full zoom descent every
+            # carried call — the vmapped joint search runs at the slowest
+            # lane, so a few such lanes pin EVERY program at the full
+            # budget (measured at K=10 x 65k: 113-127 s/outer-iter with a
+            # 1e-5/1e-6 bar vs ~60 healthy).  The converse risk — tracked-
+            # down aqn on a converged tiny-K lane costing growth evals
+            # when the objective moves — was measured at NOISE level on
+            # the diffICP_multi bench (32.35 vs 32.55 s per 8 CPU
+            # iterations).  Budget-fallback steps DO qualify (no acc_ok
+            # gate): on stiff lanes the first in-budget Armijo point is
+            # often the only signal a watchdog-sized search produces.
+            progress = (fx - acc_f) > 1e-9 * jnp.abs(fx)
             taken_ok = jnp.logical_and(acc_a > _ALPHA_DEGENERATE, progress)
             # /256 per-update shrink clamp: the stiff-lane scale sits 5-6
             # orders below 1.0 at 65k — /64 took 4+ calls of full-budget
@@ -592,11 +603,17 @@ def lbfgs_optimize(
 
         return inner_step
 
+    # cross-call stall: a stalled-in lane starts with change=0 and the
+    # i==0 override suppressed, so the outer loop never runs for it (under
+    # vmap its line searches contribute ZERO joint evaluations) — torch's
+    # long-call freeze semantics across watchdog-split calls
+    stall_v = jnp.asarray(False if stall0 is None else stall0)
+
     def outer_cond(carry):
         i, change, ref = carry[0], carry[-4], carry[-3]
         keep = jnp.logical_and(i < nmax,
                                change > tol * jnp.maximum(ref, 1e-30))
-        return jnp.logical_or(i == 0, keep)
+        return jnp.logical_or(jnp.logical_and(i == 0, ~stall_v), keep)
 
     def outer_body(carry):
         (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
@@ -621,12 +638,20 @@ def lbfgs_optimize(
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
         pos0, count0,
         best_x0, best_f0, g0, baux0, jnp.zeros((), jnp.float32),
-        jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(1.0, jnp.float32),
+        jnp.where(stall_v, 0.0, jnp.inf).astype(jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
         jnp.asarray(0), aqn0v,
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
     (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
      change, ref, nev, aqn) = out
+    # stalled-out: deliberately CONSERVATIVE — only lanes whose last outer
+    # step moved the iterate at f32-noise level (the observed pathology:
+    # no Armijo point found in the whole budget -> change == 0, or a
+    # tolerance-freeze at step_inf <= 1e-9).  NOT the reference's tol rule:
+    # at nmax=1 granularity a single coarse below-tol step must not freeze
+    # a lane that one long reference call would have kept optimizing.
+    stalled_out = change <= 1e-8 * jnp.maximum(ref, 1e-30)
 
     # Warm-start value for the next call: the first TRULY accepted
     # (steepest-descent-scale) step, confined to an asymmetric trust
@@ -651,4 +676,4 @@ def lbfgs_optimize(
                        n_evals=nev,
                        memory=LBFGSMemory(S=S, Y=Y, rho=rho, pos=pos,
                                           count=count),
-                       grad=unravel(bg))
+                       grad=unravel(bg), stalled=stalled_out)

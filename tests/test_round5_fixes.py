@@ -118,12 +118,117 @@ def test_alpha_qn_adapts_on_stiff_objective():
     alpha_qn (the K=10 x 65k atlas case the machinery exists for)."""
     from difficp_tpu.utils.lbfgs import lbfgs_optimize
 
-    # log-barrier: the quasi-Newton model persistently overshoots toward
-    # the barrier, so accepted steps sit far below the natural 1.0 trial
-    # while still making large relative progress
+    # log-barrier, ONE inner step: the first accepted step is tiny
+    # (~0.0099 toward the barrier) with large relative progress -> the
+    # returned trial scale tracks it (8x, clamped).  Note aqn recovers
+    # toward 1.0 once later steps accept near the natural trial — it is a
+    # last-productive-scale tracker, so the single-step call pins the
+    # assertion deterministically.
     def f(x):
         return -jnp.sum(jnp.log(1.0 - x)) + 50.0 * jnp.sum(x * x)
 
-    res = lbfgs_optimize(f, jnp.zeros((4,), jnp.float32) + 0.01, nmax=3,
-                         inner=6, max_linesearch_steps=20)
-    assert float(res.alpha_qn) < 1.0
+    res = lbfgs_optimize(f, jnp.zeros((4,), jnp.float32) + 0.01, nmax=1,
+                         inner=1, max_linesearch_steps=20)
+    assert float(res.alpha_qn) < 0.1
+
+
+def test_alpha_qn_bootstrap_on_budget_exhaustion():
+    """A lane whose whole line-search budget finds NO Armijo point (every
+    trial lands in a non-finite wall) must still shrink the next call's
+    trial scale — otherwise a 6-eval watchdog budget gets pinned at trial
+    1.0 forever when the true step sits many orders down (observed at
+    K=10 x 65k)."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def g(x):
+        return -jnp.sum(x) + jnp.where(jnp.max(jnp.abs(x)) > 1e-12,
+                                       jnp.inf, 0.0)
+
+    res = lbfgs_optimize(g, jnp.zeros((4,), jnp.float32), nmax=1, inner=1,
+                         max_linesearch_steps=3)
+    assert float(res.alpha_qn) == 1.0 / 256.0
+
+
+def test_stall_threading_skips_all_work():
+    """A stalled-in lane must contribute ZERO line-search evaluations and
+    return its entry state unchanged (torch long-call freeze semantics
+    across watchdog-split calls)."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def f(x):
+        return jnp.sum((x - 0.5) ** 2)
+
+    x0 = jnp.zeros((4,), jnp.float32)
+    res = lbfgs_optimize(f, x0, nmax=3, inner=5, stall0=jnp.asarray(True))
+    assert float(res.n_evals) == 0
+    np.testing.assert_array_equal(np.asarray(res.params), np.asarray(x0))
+    assert bool(res.stalled)  # stays stalled for the next call
+
+    # un-stalled control on the same problem: works normally
+    res2 = lbfgs_optimize(f, x0, nmax=3, inner=5,
+                          stall0=jnp.asarray(False))
+    assert float(res2.loss) < 1e-8
+
+
+def test_stalled_flag_set_when_no_step_found():
+    """A lane whose entire budget finds no step reports stalled=True (the
+    f32-converged lanes observed at K=10 x 65k)."""
+    from difficp_tpu.utils.lbfgs import lbfgs_optimize
+
+    def g(x):
+        return -jnp.sum(x) + jnp.where(jnp.max(jnp.abs(x)) > 1e-12,
+                                       jnp.inf, 0.0)
+
+    res = lbfgs_optimize(g, jnp.zeros((4,), jnp.float32), nmax=1, inner=1,
+                         max_linesearch_steps=3)
+    assert bool(res.stalled)
+
+    # a healthy run on a quadratic from far away is NOT stalled after one
+    # productive outer step capped by nmax
+    def f(x):
+        return jnp.sum((x - 5.0) ** 2)
+
+    res2 = lbfgs_optimize(f, jnp.zeros((4,), jnp.float32), nmax=1, inner=1,
+                          max_linesearch_steps=20)
+    assert not bool(res2.stalled)
+
+
+def test_reg_opt_frame_chunk_matches_unchunked():
+    """Reg_opt(frame_chunk=...) slices all threaded per-frame state and
+    must reproduce the unchunked call exactly (vmap lanes are
+    independent)."""
+    import os
+
+    from difficp_tpu.models import gmm as gmm_mod
+    from difficp_tpu.models import lddmm as lddmm_mod
+    from difficp_tpu.models.psr import DiffPSR
+
+    here = os.path.dirname(__file__)
+    spiral = np.load(os.path.join(here, "goldens", "spiral.npz"))
+    x = [spiral[f"x{k}"] for k in range(6)]
+    lcfg = lddmm_mod.make_config(sigma=0.2, lambd=500.0, version="hybrid",
+                                 nt=3, scheme="Euler")
+
+    def build():
+        state = gmm_mod.GMMState(
+            mu=jnp.asarray(spiral["mu0"]) + 0.01, w=jnp.zeros(20),
+            sigma=jnp.asarray(0.1), eta0=jnp.asarray(0.0),
+            vol0=jnp.asarray(0.0),
+        )
+        psr = DiffPSR(x, state, gmm_mod.GMMConfig(), lcfg)
+        psr.printstuff = False
+        psr.GMM_opt(max_iterations=3, tol=0.0)
+        return psr
+
+    a = build()
+    b = build()
+    for _ in range(2):
+        a.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=8,
+                  carry_memory=True, carry_value=True)
+        b.Reg_opt(tol=1e-3, nmax=1, inner=4, ls_steps=8,
+                  carry_memory=True, carry_value=True, frame_chunk=2)
+    np.testing.assert_allclose(np.asarray(a.a0), np.asarray(b.a0),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(a.FE, b.FE, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a._reg_stall),
+                                  np.asarray(b._reg_stall))
