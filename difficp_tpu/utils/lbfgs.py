@@ -493,7 +493,7 @@ def lbfgs_optimize(
         # at bookkeeping-only cost.
         def inner_step(carry, _):
             (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-             a_first, act, nev, aqn) = carry
+             a_first, act, nev, aqn, ever_step) = carry
             g_clean = jnp.where(jnp.isfinite(gx), gx, 0.0)
             d = _two_loop(g_clean, S, Y, rho, pos, count, m)
             dg = _dot(g_clean, d)
@@ -596,10 +596,11 @@ def lbfgs_optimize(
                 g_inf <= _TOL_GRAD,
             )
             act = jnp.logical_and(act, ~stopped)
+            ever_step = jnp.logical_or(ever_step, acc_a > _ALPHA_DEGENERATE)
             # coherence invariant: (fx, gx) are the loss and gradient AT x
             x = x + s
             return (x, acc_f, acc_g, S, Y, rho, npos, ncount, bx, bf, bg,
-                    baux, a_first, act, nev, aqn), None
+                    baux, a_first, act, nev, aqn, ever_step), None
 
         return inner_step
 
@@ -610,29 +611,29 @@ def lbfgs_optimize(
     stall_v = jnp.asarray(False if stall0 is None else stall0)
 
     def outer_cond(carry):
-        i, change, ref = carry[0], carry[-4], carry[-3]
+        i, change, ref = carry[0], carry[-5], carry[-4]
         keep = jnp.logical_and(i < nmax,
                                change > tol * jnp.maximum(ref, 1e-30))
         return jnp.logical_or(jnp.logical_and(i == 0, ~stall_v), keep)
 
     def outer_body(carry):
         (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         change, ref, nev, aqn) = carry
+         change, ref, nev, aqn, ever_step) = carry
         active = outer_cond(carry)
         prev = x
         (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-         _, nev, aqn), _ = \
+         _, nev, aqn, ever_step), _ = \
             jax.lax.scan(
                 make_inner_step(active),
                 (x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                 a_first, active, nev, aqn),
+                 a_first, active, nev, aqn, ever_step),
                 None, length=inner,
             )
         dx = x - prev
         change = jnp.sqrt(_dot(dx, dx) / max(n, 1)).astype(jnp.float32)
         ref = jnp.sqrt(_dot(prev, prev) / max(n, 1)).astype(jnp.float32)
         return (i + 1, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux,
-                a_first, change, ref, nev, aqn)
+                a_first, change, ref, nev, aqn, ever_step)
 
     carry = (
         jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
@@ -640,18 +641,27 @@ def lbfgs_optimize(
         best_x0, best_f0, g0, baux0, jnp.zeros((), jnp.float32),
         jnp.where(stall_v, 0.0, jnp.inf).astype(jnp.float32),
         jnp.asarray(1.0, jnp.float32),
-        jnp.asarray(0), aqn0v,
+        jnp.asarray(0), aqn0v, jnp.zeros((), jnp.bool_),
     )
     out = jax.lax.while_loop(outer_cond, outer_body, carry)
     (i, x, fx, gx, S, Y, rho, pos, count, bx, bf, bg, baux, a_first,
-     change, ref, nev, aqn) = out
+     change, ref, nev, aqn, ever_step) = out
     # stalled-out: deliberately CONSERVATIVE — only lanes whose last outer
     # step moved the iterate at f32-noise level (the observed pathology:
     # no Armijo point found in the whole budget -> change == 0, or a
-    # tolerance-freeze at step_inf <= 1e-9).  NOT the reference's tol rule:
-    # at nmax=1 granularity a single coarse below-tol step must not freeze
-    # a lane that one long reference call would have kept optimizing.
-    stalled_out = change <= 1e-8 * jnp.maximum(ref, 1e-30)
+    # tolerance-freeze at step_inf <= 1e-9), AND that carried WARM
+    # EVIDENCE into this call (a previously accepted step scale or live
+    # curvature pairs).  A COLD lane finding nothing only proves the
+    # watchdog-sized budget could not descend from the 1/||g0|| seed to
+    # the Wolfe zone (5-7 orders at 131k raw-sum scales, > ls evals) —
+    # marking it stalled deadlocked the whole K=10 x 131k registration
+    # until the next EM reset (observed: call 2 ran 0 evals on ALL lanes
+    # at identical FE).  NOT the reference's tol rule: at nmax=1
+    # granularity a single coarse below-tol step must not freeze a lane
+    # one long reference call would have kept optimizing.
+    warm_evidence = jnp.logical_or(warm_ok, count0 > 0)
+    stalled_out = jnp.logical_or(stall_v, jnp.logical_and(
+        change <= 1e-8 * jnp.maximum(ref, 1e-30), warm_evidence))
 
     # Warm-start value for the next call: the first TRULY accepted
     # (steepest-descent-scale) step, confined to an asymmetric trust
@@ -670,6 +680,17 @@ def lbfgs_optimize(
                          a_first > _ALPHA_DEGENERATE)
     alpha = jnp.where(ok, jnp.clip(a_first, prev_seed / 4096.0,
                                    prev_seed * 16.0), prev_seed)
+    # cold-seed bootstrap: a lane that ran and took NO step anywhere this
+    # call learned that the whole probed range [seed * 10^-(ls-1), seed]
+    # holds no Armijo point (the zoom shrinks >= 10x/eval) — pass the
+    # floor of that range as the next seed, or a watchdog-sized budget
+    # can never descend the 5-7 orders from 1/||g0|| to the Wolfe zone at
+    # 131k raw-sum scales.  Warm-evidence lanes in this state stall
+    # instead (stalled_out), so this only moves genuinely cold searches.
+    probe_floor = float(10.0 ** -(int(max_linesearch_steps) - 1))
+    alpha = jnp.where(
+        jnp.logical_and(jnp.logical_and(~ever_step, i > 0), ~stall_v),
+        jnp.maximum(prev_seed * probe_floor, 1e-20), alpha)
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
                        change=change, alpha=alpha, alpha_qn=aqn,
                        aux=baux if has_aux else None,

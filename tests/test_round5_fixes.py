@@ -171,17 +171,28 @@ def test_stall_threading_skips_all_work():
 
 
 def test_stalled_flag_set_when_no_step_found():
-    """A lane whose entire budget finds no step reports stalled=True (the
-    f32-converged lanes observed at K=10 x 65k)."""
+    """A WARM lane whose entire budget finds no step reports stalled=True
+    (the f32-converged lanes observed at K=10 x 65k).  A COLD lane in the
+    same state must NOT stall — it only proves the budget could not
+    descend from the 1/||g0|| seed to the Wolfe zone (marking it stalled
+    deadlocked the whole K=10 x 131k registration); instead its returned
+    seed bootstraps down by the probed range."""
     from difficp_tpu.utils.lbfgs import lbfgs_optimize
 
     def g(x):
         return -jnp.sum(x) + jnp.where(jnp.max(jnp.abs(x)) > 1e-12,
                                        jnp.inf, 0.0)
 
+    # warm evidence (a threaded accepted step scale) -> stall
     res = lbfgs_optimize(g, jnp.zeros((4,), jnp.float32), nmax=1, inner=1,
-                         max_linesearch_steps=3)
+                         max_linesearch_steps=3, alpha0=0.5)
     assert bool(res.stalled)
+
+    # cold -> no stall; seed shrunk by the probed descent range 10^-(ls-1)
+    res_c = lbfgs_optimize(g, jnp.zeros((4,), jnp.float32), nmax=1,
+                           inner=1, max_linesearch_steps=3)
+    assert not bool(res_c.stalled)
+    assert float(res_c.alpha) < 0.01  # seed (0.5) x 10^-2
 
     # a healthy run on a quadratic from far away is NOT stalled after one
     # productive outer step capped by nmax
