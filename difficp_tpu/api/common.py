@@ -55,6 +55,12 @@ def default_numerical_options(numerical_options: Optional[dict]) -> dict:
     # larger FE decrease per call at 131k).  Default off = the reference's
     # fresh-torch-LBFGS-per-call semantics.
     set_default(opts, "carry_memory_LDDMM", False)
+    # run the K frames' lockstep registration in sequential vmapped chunks
+    # of this many frames (None = all at once).  At K x 100k+ scales this
+    # both bounds per-program work under execution watchdogs and confines
+    # the slowest-lane tax of the joint line search (models/psr.py
+    # Reg_opt(frame_chunk=...)); exact-equivalence tested.
+    set_default(opts, "frame_chunk_LDDMM", None)
     apply_computversion(opts["computversion"])
     backend_mod.set_bwd_precision(opts["backward_precision"])
     return opts

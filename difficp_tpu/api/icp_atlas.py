@@ -193,7 +193,8 @@ def icp_atlas(
             callback_function(psr, True)
         if is_diff:
             psr.Reg_opt(tol=tol, nmax=10,
-                        carry_memory=numerical_options["carry_memory_LDDMM"])
+                        carry_memory=numerical_options["carry_memory_LDDMM"],
+                        frame_chunk=numerical_options["frame_chunk_LDDMM"])
         else:
             psr.Reg_opt(tol=tol, nmax=1)
         if callback_function is not None:

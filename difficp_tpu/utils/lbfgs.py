@@ -122,8 +122,12 @@ def zero_memory(n: int, memory_size: int = 20,
         S=jnp.zeros((memory_size, n), dtype),
         Y=jnp.zeros((memory_size, n), dtype),
         rho=jnp.zeros((memory_size,), dtype),
-        pos=jnp.asarray(0),
-        count=jnp.asarray(0),
+        # non-weak int32 like the pos/count a result carries: a weak-typed
+        # fresh memory vs a strong-typed carried one changes the jit
+        # signature and silently recompiles the whole registration graph
+        # on the FIRST carried call (~10 min remotely at 131k)
+        pos=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
     )
 
 
@@ -519,22 +523,20 @@ def lbfgs_optimize(
             # trial, the r2 warm-seed-poison lesson); the /64 lower clamp
             # bounds the per-step shrink, bracketing growth (10x/eval)
             # recovers an undersized trial cheaply.
-            # The progress bar is deliberately LOW (1e-9 |fx|): as a lane
-            # converges its per-step progress decays below ANY fixed bar
-            # while its accepted-step scale keeps drifting down, and a
-            # frozen-above-scale aqn re-pays the full zoom descent every
-            # carried call — the vmapped joint search runs at the slowest
-            # lane, so a few such lanes pin EVERY program at the full
-            # budget (measured at K=10 x 65k: 113-127 s/outer-iter with a
-            # 1e-5/1e-6 bar vs ~60 healthy).  The converse risk — tracked-
-            # down aqn on a converged tiny-K lane costing growth evals
-            # when the objective moves — was measured at NOISE level on
-            # the diffICP_multi bench (32.35 vs 32.55 s per 8 CPU
-            # iterations).  Budget-fallback steps DO qualify (no acc_ok
-            # gate): on stiff lanes the first in-budget Armijo point is
-            # often the only signal a watchdog-sized search produces.
+            # Only TRUE strong-Wolfe accepts with real relative progress
+            # update the trial scale.  Letting budget-fallback steps
+            # qualify (tried in r5) made the tracker chaotic — fallback
+            # sizes encode where the budget ran out, not the landscape —
+            # and measurably degraded single-lane convergence quality
+            # (chui diffeomorphic FE regressed from 0.7% to 8% off the
+            # torch reference at equal budgets).  Lanes that can never
+            # truly accept are handled elsewhere: the cross-call STALL
+            # flag freezes f32-converged warm lanes, and cold no-step
+            # calls bootstrap the warm SEED down by the probed range.
             progress = (fx - acc_f) > 1e-9 * jnp.abs(fx)
-            taken_ok = jnp.logical_and(acc_a > _ALPHA_DEGENERATE, progress)
+            taken_ok = jnp.logical_and(
+                jnp.logical_and(acc_a > _ALPHA_DEGENERATE, acc_ok),
+                progress)
             # /256 per-update shrink clamp: the stiff-lane scale sits 5-6
             # orders below 1.0 at 65k — /64 took 4+ calls of full-budget
             # descent to reach it, /256 gets there in 2 while still
@@ -544,17 +546,6 @@ def lbfgs_optimize(
                 taken_ok,
                 jnp.clip(8.0 * acc_a.astype(jnp.float32), aqn / 256.0, 1.0),
                 aqn)
-            # bootstrap guarantee: an ACTIVE descent lane that exhausted
-            # its whole budget without finding ANY Armijo point learned
-            # exactly one thing — the true step is below everything it
-            # probed.  Shrink the next call's trial /256 so a 6-eval
-            # budget cannot get pinned at trial 1.0 forever when the
-            # Wolfe step sits 6+ orders down (observed at K=10 x 65k).
-            no_step = jnp.logical_and(
-                jnp.logical_and(acc_a <= _ALPHA_DEGENERATE,
-                                ls_k >= max_linesearch_steps),
-                jnp.logical_and(active, act))
-            aqn = jnp.where(no_step, jnp.maximum(aqn / 256.0, 1e-20), aqn)
             s = acc_a * d
             y = acc_g - gx
             sy = _dot(s, y)
@@ -688,8 +679,9 @@ def lbfgs_optimize(
     # 131k raw-sum scales.  Warm-evidence lanes in this state stall
     # instead (stalled_out), so this only moves genuinely cold searches.
     probe_floor = float(10.0 ** -(int(max_linesearch_steps) - 1))
+    cold = jnp.logical_and(~warm_evidence, ~stall_v)
     alpha = jnp.where(
-        jnp.logical_and(jnp.logical_and(~ever_step, i > 0), ~stall_v),
+        jnp.logical_and(jnp.logical_and(~ever_step, i > 0), cold),
         jnp.maximum(prev_seed * probe_floor, 1e-20), alpha)
     return LBFGSResult(params=unravel(bx), loss=bf, n_steps=i,
                        change=change, alpha=alpha, alpha_qn=aqn,

@@ -132,12 +132,13 @@ def test_alpha_qn_adapts_on_stiff_objective():
     assert float(res.alpha_qn) < 0.1
 
 
-def test_alpha_qn_bootstrap_on_budget_exhaustion():
-    """A lane whose whole line-search budget finds NO Armijo point (every
-    trial lands in a non-finite wall) must still shrink the next call's
-    trial scale — otherwise a 6-eval watchdog budget gets pinned at trial
-    1.0 forever when the true step sits many orders down (observed at
-    K=10 x 65k)."""
+def test_alpha_qn_untouched_by_fallback_steps():
+    """Budget-fallback (non-strong-Wolfe) steps must NOT move the adaptive
+    trial scale: fallback sizes encode where the budget ran out, not the
+    landscape, and letting them update aqn degraded single-lane
+    convergence quality measurably (chui diffeomorphic FE went from 0.7%
+    to 8% off the torch reference).  No-step budget exhaustion is handled
+    by the SEED bootstrap + stall flag instead (tests above)."""
     from difficp_tpu.utils.lbfgs import lbfgs_optimize
 
     def g(x):
@@ -146,7 +147,7 @@ def test_alpha_qn_bootstrap_on_budget_exhaustion():
 
     res = lbfgs_optimize(g, jnp.zeros((4,), jnp.float32), nmax=1, inner=1,
                          max_linesearch_steps=3)
-    assert float(res.alpha_qn) == 1.0 / 256.0
+    assert float(res.alpha_qn) == 1.0
 
 
 def test_stall_threading_skips_all_work():
