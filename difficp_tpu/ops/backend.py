@@ -158,10 +158,22 @@ def v_field(x, q, p, sigma, eta, mask_q=None):
 
 def mdivsum(x, q, p, sigma, eta, mask_q=None, mask_x=None):
     """Standalone -sum div(v) at data points (LDDMM.py:120-138); the shoot's
-    hot path gets this fused inside lddmm_rhs_* instead.  Blockwise above
-    the dense pair limit (the dense (M, Nx) tile would OOM at scale)."""
+    hot path gets this fused inside lddmm_rhs_* instead.  Above the dense
+    pair limit: the generated payload-matmul kernel (value AND gradients,
+    r5 — its pair density is the ext dcx component of the pair-polynomial
+    compiler); blockwise when sigma is traced or pallas is unavailable."""
+    sig = _static_float(sigma)
     if _use_dense(q.shape[0], x.shape[0], pallas_capable=False):
         return _dense.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
+    if _use_pallas_generic() and sig is not None:
+        from difficp_tpu.ops.pallas_ksum import make_mdivsum
+
+        key = ("mdiv", sig, float(eta))
+        if key not in _pallas_cache:
+            _pallas_cache[key] = make_mdivsum(sig, float(eta))
+        mq = mask_q if mask_q is not None else _ones_like_rows(q)
+        mx = mask_x if mask_x is not None else _ones_like_rows(x)
+        return _pallas_cache[key](x, q, p, mq, mx)
     return _block.mdivsum(x, q, p, sigma, eta, mask_q, mask_x)
 
 

@@ -749,6 +749,67 @@ def make_hamiltonian(sigma: float, eta: float, ti: int = 256, tj: int = 512):
 
 
 # ---------------------------------------------------------------------------
+# mdivsum (LDDMM.py:120-138): the one reduction that previously had no MXU
+# path — its pair density IS the ext logdet component dcx of the
+# pair-polynomial compiler, so forward AND backward are generated kernels
+# ---------------------------------------------------------------------------
+
+def make_mdivsum(sigma: float, eta: float, ti: int = 256, tj: int = 512):
+    """Custom-VJP mdivsum(x, q, p, mask_q, mask_x) -> scalar.
+
+    sum over data points x of -div(v)(x_i)
+      = sum_ij k(x_i - q_j) m_i m_j [ u p_j.(x_i - q_j)
+                                      + eta u (u d2 - d) ],  u = 1/sigma^2
+    (reference LDDMM.py:120-138, expressed there as
+    ``(p * GradKRed(q, x)).sum() + eta * LapKRed(q, x).sum()``).
+
+    Forward: ONE generic payload-matmul kernel-sum over the dcx component
+    density (`pair_poly._ext_component_polys`).  Backward: the generated
+    ext backward polynomials with gv = 0 and gc = the scalar cotangent —
+    the same machinery that differentiates the fused ext RHS.
+    """
+    from difficp_tpu.ops import pair_poly as _pp
+
+    sigma = float(sigma)
+    eta = float(eta)
+
+    def _value(x, q, p, mask_q, mask_x):
+        d = x.shape[1]
+        c = _mm_center(q, mask_q)
+        xc, qc = x - c, q - c
+        polys = {
+            "dcx": _pp._ext_fwd_polys(d, sigma, eta, True)["dcx"],
+        }
+        xvals = {"m": mask_x}
+        qvals = {"m": mask_q}
+        for e in range(d):
+            xvals[f"q{e}"] = xc[:, e]
+            qvals[f"q{e}"] = qc[:, e]
+            qvals[f"p{e}"] = p[:, e]
+        outs = _pp.eval_polys(polys, xc, qc, xvals, qvals, sigma, ti, tj)
+        return jnp.sum(outs["dcx"])
+
+    @jax.custom_vjp
+    def op(x, q, p, mask_q, mask_x):
+        return _value(x, q, p, mask_q, mask_x)
+
+    def fwd(x, q, p, mask_q, mask_x):
+        return _value(x, q, p, mask_q, mask_x), (x, q, p, mask_q, mask_x)
+
+    def bwd(res, ghat):
+        x, q, p, mask_q, mask_x = res
+        c = _mm_center(q, mask_q)
+        zx = jnp.zeros_like(x)
+        dq, dp, dx = _pp.rhs_ext_bwd_poly(
+            q - c, p, x - c, mask_q, mask_x, zx, ghat, sigma, eta, ti, tj,
+        )
+        return dx, dq, dp, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
 # v at external points (LDDMM.py:100-116) on the existing ext kernels
 # ---------------------------------------------------------------------------
 
